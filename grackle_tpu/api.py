@@ -1,0 +1,430 @@
+"""Public API.
+
+TPU-native analogue of the reference's 3-tier public surface
+(grackle: src/clib/grackle.h:14-187 and the pygrackle ``chemistry_data``
+class, src/python/pygrackle/grackle_wrapper.pyx:22-1051):
+
+* :class:`ChemistryData` — the mutable parameter object with
+  pygrackle-compatible attribute and string-keyed access
+  (src/clib/dynamic_api.c:35-116), plus code-unit attributes and derived
+  unit properties.
+* ``initialize()`` builds a :class:`GrackleContext`: rate tables and data
+  files become device-resident pytrees, and the solve/derived-field entry
+  points are jitted with the frozen config as a static argument -- the
+  re-entrant ``local_*`` API falls out for free because every context is an
+  independent value (no globals).
+* module functions ``solve_chemistry``, ``calculate_cooling_time``,
+  ``calculate_temperature``, ``calculate_pressure``, ``calculate_gamma``,
+  ``calculate_dust_temperature`` (grackle.h:52-102).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    PARAMETER_REGISTRY,
+    ChemistryConfig,
+    resolve_config,
+)
+from .data.cloudy import (
+    CloudyTable,
+    empty_cloudy_table,
+    is_old_style,
+    load_cloudy_table,
+)
+from .data.uvb import load_uvb_table, update_uvb_rates, uvb_redshift_bounds
+from .ops import derived as _derived
+from .ops import solver as _solver
+from .ops.common import make_unit_scalars, photo_rates_from_tables
+from .rates.tables import build_rate_tables
+from .units import CodeUnits
+
+_UNIT_FIELDS = [
+    "comoving_coordinates", "density_units", "length_units",
+    "time_units", "a_units", "a_value",
+]
+
+
+@dataclasses.dataclass
+class GrackleContext:
+    """Everything needed to run the solver: the re-entrant analogue of
+    (chemistry_data, chemistry_data_storage, code_units)."""
+
+    config: Any  # frozen ChemistryConfig (JIT-static)
+    units: CodeUnits
+    tables: Any
+    cloudy_primordial: CloudyTable
+    cloudy_metal: CloudyTable
+    uvb: Any = None
+    cloudy_data_new: bool = True
+
+
+def initialize(cfg: "ChemistryConfig", units: CodeUnits) -> GrackleContext:
+    """Build rate tables + data tables (analogue of
+    initialize_chemistry_data, grackle:
+    src/clib/initialize_chemistry_data.c:60-247)."""
+    units.validate()
+    cfg = resolve_config(cfg)
+
+    cloudy_data_new = True
+    read_prim = cfg.primordial_chemistry == 0
+    read_met = cfg.metal_cooling == 1
+    if (read_prim or read_met) and not cfg.grackle_data_file:
+        raise ValueError(
+            "tabulated/metal cooling requires grackle_data_file"
+        )
+
+    if read_prim or read_met:
+        cloudy_data_new = not is_old_style(cfg.grackle_data_file)
+
+    cloudy_prim = (
+        load_cloudy_table(
+            cfg.grackle_data_file, "Primordial", units,
+            read_heating=cfg.UVbackground == 1,
+            read_mmw=True,
+        )
+        if read_prim
+        else empty_cloudy_table()
+    )
+    cloudy_met = (
+        load_cloudy_table(
+            cfg.grackle_data_file, "Metals", units,
+            read_heating=cfg.UVbackground == 1,
+            read_mmw=False,
+        )
+        if read_met
+        else empty_cloudy_table()
+    )
+
+    uvb = None
+    if cfg.UVbackground == 1 and cfg.primordial_chemistry > 0:
+        uvb = load_uvb_table(cfg.grackle_data_file, cfg)
+        updates = uvb_redshift_bounds(cfg, uvb)
+        if updates:
+            cfg = dataclasses.replace(cfg, **updates)
+
+    tables = build_rate_tables(cfg, units)
+    return GrackleContext(
+        config=cfg,
+        units=units,
+        tables=tables,
+        cloudy_primordial=cloudy_prim,
+        cloudy_metal=cloudy_met,
+        uvb=uvb,
+        cloudy_data_new=cloudy_data_new,
+    )
+
+
+def _photo_rates(cfg, tables, uvb, units):
+    """solve_chemistry.c:103-137."""
+    if cfg.UVbackground == 1 and uvb is not None:
+        return update_uvb_rates(cfg, uvb, units)
+    return photo_rates_from_tables(tables)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "imetal", "cloudy_data_new", "comoving"),
+)
+def _solve_chemistry_core(
+    cfg, tables, cloudy_prim, cloudy_met, uvb, units, fields, dt,
+    grid_dx, l_h2shield_field, imetal, cloudy_data_new, comoving,
+):
+    us = make_unit_scalars(cfg, tables, units, grid_dx)
+    pr = _photo_rates(cfg, tables, uvb, units)
+    result = _solver.solve_rate_cool(
+        cfg, tables, cloudy_prim, cloudy_met, pr, us, fields, dt,
+        imetal=imetal, cloudy_data_new=cloudy_data_new,
+        l_h2shield_field=l_h2shield_field, comoving=comoving,
+    )
+    return result.fields, result.n_iterations, result.converged
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "imetal", "cloudy_data_new", "comoving"),
+)
+def _cooling_time_core(
+    cfg, tables, cloudy_prim, cloudy_met, uvb, units, fields,
+    imetal, cloudy_data_new, comoving,
+):
+    us = make_unit_scalars(cfg, tables, units)
+    pr = _photo_rates(cfg, tables, uvb, units)
+    return _derived.calculate_cooling_time(
+        cfg, tables, cloudy_prim, cloudy_met, pr, us, fields,
+        imetal=imetal, cloudy_data_new=cloudy_data_new, comoving=comoving,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "imetal"))
+def _temperature_core(cfg, tables, cloudy_prim, units, fields, imetal):
+    us = make_unit_scalars(cfg, tables, units)
+    return _derived.calculate_temperature(
+        cfg, cloudy_prim, us, fields, imetal
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "imetal"))
+def _pressure_core(cfg, tables, units, fields, imetal):
+    us = make_unit_scalars(cfg, tables, units)
+    return _derived.calculate_pressure(cfg, us, fields, imetal)
+
+
+@partial(jax.jit, static_argnames=("cfg", "imetal"))
+def _gamma_core(cfg, tables, cloudy_prim, units, fields, imetal):
+    us = make_unit_scalars(cfg, tables, units)
+    return _derived.calculate_gamma(cfg, cloudy_prim, us, fields, imetal)
+
+
+@partial(jax.jit, static_argnames=("cfg", "imetal"))
+def _dust_temperature_core(cfg, tables, cloudy_prim, units, fields,
+                           imetal):
+    us = make_unit_scalars(cfg, tables, units)
+    return _derived.calculate_dust_temperature(
+        cfg, tables, cloudy_prim, us, fields, units, imetal
+    )
+
+
+def _prep_fields(ctx, fields):
+    """Convert a field dict to f64 jnp arrays; detect the metal field."""
+    f = {}
+    for key, val in fields.items():
+        if val is None:
+            continue
+        f[key] = jnp.asarray(val, dtype=jnp.float64)
+    imetal = "metal" in f
+    return f, imetal
+
+
+def sobolev_shield_length(density_grid, grid_dx, us_dom_unused, xbase1,
+                          dx_cgs):
+    """Precompute the Sobolev-like H2-shielding length for
+    H2_self_shielding == 1 from the 3-D density stencil
+    (solve_rate_cool_g.F:1418-1434).  Returns a flat array matching the
+    raveled grid."""
+    d = density_grid
+    divrho = jnp.full_like(d, 1.0e-20)
+    for axis in range(3):
+        for shift in (1, -1):
+            neighbor = jnp.roll(d, shift, axis=axis)
+            diff = neighbor - d
+            divrho = divrho + jnp.where(diff < 0.0, diff, 0.0)
+    l_shield = jnp.minimum(dx_cgs * d / jnp.abs(divrho), xbase1)
+    return l_shield.reshape(-1)
+
+
+def solve_chemistry(ctx: GrackleContext, fields, dt,
+                    grid_dx: float = 0.0, grid_shape=None):
+    """Advance chemistry + energy by dt (grackle.h:64, solve_chemistry.c).
+
+    fields: dict of flat arrays (code units).  Returns (new_fields dict,
+    diagnostics dict with n_iterations and converged mask).
+    """
+    cfg = ctx.config
+    f, imetal = _prep_fields(ctx, fields)
+    l_h2 = None
+    if cfg.H2_self_shielding == 1:
+        if grid_shape is None or len(grid_shape) != 3:
+            raise ValueError(
+                "H2_self_shielding option 1 requires a 3-D grid_shape "
+                "(solve_chemistry.c:157-165); use option 2 to provide "
+                "shielding lengths or option 3 for the Jeans length."
+            )
+        us = make_unit_scalars(cfg, ctx.tables, ctx.units, grid_dx)
+        d_grid = f["density"].reshape(grid_shape)
+        l_h2 = sobolev_shield_length(
+            d_grid, grid_dx, us.dom, us.xbase1, us.dx_cgs
+        )
+    new_f, n_iter, converged = _solve_chemistry_core(
+        cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
+        ctx.uvb, ctx.units, f, jnp.float64(dt), jnp.float64(grid_dx),
+        l_h2, imetal, ctx.cloudy_data_new,
+        bool(ctx.units.comoving_coordinates),
+    )
+    diagnostics = {"n_iterations": n_iter, "converged": converged}
+    return new_f, diagnostics
+
+
+def calculate_cooling_time(ctx: GrackleContext, fields):
+    f, imetal = _prep_fields(ctx, fields)
+    return _cooling_time_core(
+        ctx.config, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
+        ctx.uvb, ctx.units, f, imetal, ctx.cloudy_data_new,
+        bool(ctx.units.comoving_coordinates),
+    )
+
+
+def calculate_temperature(ctx: GrackleContext, fields):
+    f, imetal = _prep_fields(ctx, fields)
+    return _temperature_core(
+        ctx.config, ctx.tables, ctx.cloudy_primordial, ctx.units, f,
+        imetal,
+    )
+
+
+def calculate_pressure(ctx: GrackleContext, fields):
+    f, imetal = _prep_fields(ctx, fields)
+    return _pressure_core(ctx.config, ctx.tables, ctx.units, f, imetal)
+
+
+def calculate_gamma(ctx: GrackleContext, fields):
+    f, imetal = _prep_fields(ctx, fields)
+    return _gamma_core(
+        ctx.config, ctx.tables, ctx.cloudy_primordial, ctx.units, f,
+        imetal,
+    )
+
+
+def calculate_dust_temperature(ctx: GrackleContext, fields):
+    f, imetal = _prep_fields(ctx, fields)
+    return _dust_temperature_core(
+        ctx.config, ctx.tables, ctx.cloudy_primordial, ctx.units, f,
+        imetal,
+    )
+
+
+class ChemistryData:
+    """pygrackle-compatible parameter object.
+
+    Set parameters as attributes (or string keys), set the unit attributes,
+    then call :meth:`initialize`.  After initialization the solve and
+    calculate_* methods are live.  (grackle:
+    src/python/pygrackle/grackle_wrapper.pyx:22-96,943-1051)
+    """
+
+    def __init__(self, **kwargs):
+        object.__setattr__(self, "_params", {
+            name: default for name, (_, default) in
+            PARAMETER_REGISTRY.items()
+        })
+        object.__setattr__(self, "_units", {
+            "comoving_coordinates": 0,
+            "density_units": 1.0,
+            "length_units": 1.0,
+            "time_units": 1.0,
+            "a_units": 1.0,
+            "a_value": 1.0,
+        })
+        object.__setattr__(self, "_context", None)
+        for key, val in kwargs.items():
+            setattr(self, key, val)
+
+    # --- attribute access routed through the registry
+    #     (dynamic_api.c analogue) ---
+
+    def __getattr__(self, name):
+        params = object.__getattribute__(self, "_params")
+        units = object.__getattribute__(self, "_units")
+        if name in params:
+            return params[name]
+        if name in units:
+            return units[name]
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if name in self._params:
+            ptype = PARAMETER_REGISTRY[name][0]
+            self._params[name] = ptype(value)
+        elif name in self._units:
+            self._units[name] = value
+        else:
+            raise AttributeError(
+                f"unknown chemistry_data attribute: {name}"
+            )
+
+    # string-keyed dynamic API (dynamic_api.c:35-116)
+    def __getitem__(self, key):
+        return getattr(self, key)
+
+    def __setitem__(self, key, value):
+        setattr(self, key, value)
+
+    def parameter_names(self):
+        return list(self._params)
+
+    # --- units ---
+
+    @property
+    def code_units(self) -> CodeUnits:
+        return CodeUnits(**self._units)
+
+    @property
+    def velocity_units(self):
+        return self.code_units.velocity_units
+
+    @property
+    def temperature_units(self):
+        return self.code_units.temperature_units
+
+    @property
+    def energy_units(self):
+        return self.code_units.energy_units
+
+    @property
+    def pressure_units(self):
+        return self.code_units.pressure_units
+
+    @property
+    def cooling_units(self):
+        return self.code_units.coolunit
+
+    # --- lifecycle ---
+
+    def initialize(self) -> int:
+        cfg = ChemistryConfig(**self._params)
+        try:
+            ctx = initialize(cfg, self.code_units)
+        except Exception:
+            raise
+        object.__setattr__(self, "_context", ctx)
+        # propagate derived parameter values back (e.g. tabulated-mode
+        # HydrogenFractionByMass, photoelectric_heating resolution)
+        for name in self._params:
+            self._params[name] = getattr(ctx.config, name)
+        return 1
+
+    @property
+    def context(self) -> Optional[GrackleContext]:
+        return self._context
+
+    def refresh_units(self):
+        """Rebuild the context units view after unit attributes change
+        (e.g. a_value updates in a cosmological run)."""
+        if self._context is not None:
+            self._context.units = self.code_units
+
+    # --- solver entry points ---
+
+    def _require_context(self):
+        if self._context is None:
+            raise RuntimeError(
+                "chemistry_data not initialized; call initialize()"
+            )
+        self.refresh_units()
+        return self._context
+
+    def solve_chemistry(self, fields, dt, grid_dx=0.0, grid_shape=None):
+        return solve_chemistry(self._require_context(), fields, dt,
+                               grid_dx, grid_shape)
+
+    def calculate_cooling_time(self, fields):
+        return calculate_cooling_time(self._require_context(), fields)
+
+    def calculate_temperature(self, fields):
+        return calculate_temperature(self._require_context(), fields)
+
+    def calculate_pressure(self, fields):
+        return calculate_pressure(self._require_context(), fields)
+
+    def calculate_gamma(self, fields):
+        return calculate_gamma(self._require_context(), fields)
+
+    def calculate_dust_temperature(self, fields):
+        return calculate_dust_temperature(self._require_context(), fields)

@@ -81,6 +81,11 @@ PARAMETER_REGISTRY: Dict[str, Tuple[type, Any]] = {
     "collisional_ionisation_rates": (int, 1),
     "recombination_cooling_rates": (int, 1),
     "bremsstrahlung_cooling_rates": (int, 1),
+    # Extension (not in the reference registry): selects the H2 cooling
+    # function, replacing the reference's compile-time choice
+    # (cool1d_multi_g.F:470-624). 0 = Glover & Abel 2008 (the reference's
+    # compiled-in default), 1 = Galli & Palla 1999, 2 = Lepp & Shull.
+    "h2_cooling_variant": (int, 0),
     "max_iterations": (int, 10000),
     "exit_after_iterations_exceeded": (int, 0),
     # Analogue of omp_nthreads: number of host threads used by the async

@@ -1,0 +1,182 @@
+"""Vectorized multilinear table interpolation.
+
+TPU-native rebuild of the reference's uniform-grid interpolators
+(grackle: src/clib/interpolators_g.F:4-566).  Where the reference runs one
+scalar interpolation per cell inside Fortran loops, these are batched
+gathers + fused multiply-adds over the whole cell axis, which XLA maps onto
+the VPU.
+
+Conventions match the reference exactly:
+* data is flattened C-order with parameter 1 slowest
+  (interpolators_g.F:83,150).
+* interpolation index is ``min(dim-1, max(1, int((x-x0)/dx)+1))`` in 1-based
+  indexing (interpolators_g.F:29-30), i.e. values outside the grid are
+  *linearly extrapolated* from the edge cell.
+* the redshift axis of 3-D Cloudy tables is non-uniform and interpolated in
+  log(1+z) with a 2-D fallback past the final redshift
+  (interpolators_g.F:186-269,279-338).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _uniform_index(x, par, dim):
+    """1-based reference index -> 0-based: clip(floor((x-x0)/dx), 0, dim-2).
+
+    (interpolators_g.F:29-30)
+    """
+    dpar = (par[dim - 1] - par[0]) / (dim - 1)
+    idx = jnp.floor((x - par[0]) / dpar).astype(jnp.int32)
+    return jnp.clip(idx, 0, dim - 2)
+
+
+def _lerp(x, x0, x1, f0, f1):
+    slope = (f1 - f0) / (x1 - x0)
+    return (x - x0) * slope + f0
+
+
+def interpolate_1d(x, par1, data):
+    """(interpolators_g.F:4-40); x batched, data shape (D1,)."""
+    d1 = data.shape[0]
+    i1 = _uniform_index(x, par1, d1)
+    return _lerp(x, par1[i1], par1[i1 + 1], data[i1], data[i1 + 1])
+
+
+def interpolate_2d(x1, x2, par1, par2, data):
+    """(interpolators_g.F:45-101); data shape (D1, D2)."""
+    d1, d2 = data.shape
+    i1 = _uniform_index(x1, par1, d1)
+    i2 = _uniform_index(x2, par2, d2)
+    v_lo = _lerp(x2, par2[i2], par2[i2 + 1], data[i1, i2], data[i1, i2 + 1])
+    v_hi = _lerp(x2, par2[i2], par2[i2 + 1],
+                 data[i1 + 1, i2], data[i1 + 1, i2 + 1])
+    return _lerp(x1, par1[i1], par1[i1 + 1], v_lo, v_hi)
+
+
+def interpolate_3d(x1, x2, x3, par1, par2, par3, data):
+    """(interpolators_g.F:106-178); data shape (D1, D2, D3)."""
+    d1, d2, d3 = data.shape
+    i1 = _uniform_index(x1, par1, d1)
+    i2 = _uniform_index(x2, par2, d2)
+    i3 = _uniform_index(x3, par3, d3)
+
+    def v3(q, w):
+        return _lerp(x3, par3[i3], par3[i3 + 1],
+                     data[i1 + q, i2 + w, i3], data[i1 + q, i2 + w, i3 + 1])
+
+    def v2(q):
+        return _lerp(x2, par2[i2], par2[i2 + 1], v3(q, 0), v3(q, 1))
+
+    return _lerp(x1, par1[i1], par1[i1 + 1], v2(0), v2(1))
+
+
+def redshift_index(zr, par2, d2):
+    """Bisection index + past-the-end flag for the redshift axis of 3-D
+    Cloudy tables (grackle: cool1d_cloudy_g.F:128-153).
+
+    Returns (zi0, end_int): zi0 is the 0-based lower bracket, clipped to
+    [0, d2-3]; end_int is True when zr is at/past the second-to-last
+    redshift, in which case interpolation collapses to 2-D at the final
+    table slice.
+    """
+    zi0 = jnp.clip(
+        jnp.searchsorted(par2, zr, side="right") - 1, 0, d2 - 3
+    )
+    end_int = zr >= par2[d2 - 2]
+    # reference pins zindex = D2 (1-based) in the end_int case; the 2-D
+    # fallback then reads slice (zindex-1) = D2-1 (0-based last slice).
+    zi0 = jnp.where(end_int, d2 - 1, zi0)
+    return zi0, end_int
+
+
+def interpolate_3dz(x1, zr, x3, par1, par2, par3, data, zi0, end_int):
+    """Non-uniform middle (redshift) axis in log(1+z), with 2-D fallback
+    past the last redshift (interpolators_g.F:186-269,279-338).
+
+    zi0/end_int come from :func:`redshift_index` (computed once per call,
+    shared by all cells).
+    """
+    d1, d2, d3 = data.shape
+    i1 = _uniform_index(x1, par1, d1)
+    i3 = _uniform_index(x3, par3, d3)
+
+    # --- full 3-D path (clamped so the end_int case stays in bounds) ---
+    zi = jnp.clip(zi0, 0, d2 - 2)
+
+    def v3(q, w):
+        return _lerp(x3, par3[i3], par3[i3 + 1],
+                     data[i1 + q, zi + w, i3], data[i1 + q, zi + w, i3 + 1])
+
+    zlog = jnp.log((1.0 + par2[zi + 1]) / (1.0 + par2[zi]))
+    zfrac = jnp.log((1.0 + zr) / (1.0 + par2[zi]))
+
+    def v2(q):
+        slope = (v3(q, 1) - v3(q, 0)) / zlog
+        return zfrac * slope + v3(q, 0)
+
+    full = _lerp(x1, par1[i1], par1[i1 + 1], v2(0), v2(1))
+
+    # --- 2-D fallback at the last redshift slice ---
+    zlast = jnp.clip(zi0, 0, d2 - 1)
+
+    def f3(q):
+        return _lerp(x3, par3[i3], par3[i3 + 1],
+                     data[i1 + q, zlast, i3], data[i1 + q, zlast, i3 + 1])
+
+    flat = _lerp(x1, par1[i1], par1[i1 + 1], f3(0), f3(1))
+
+    return jnp.where(end_int, flat, full)
+
+
+def interpolate_4d(x1, x2, x3, x4, par1, par2, par3, par4, data):
+    """(interpolators_g.F:343-431); axis 4 indexed by bisection
+    (INDEX_4_BISECTION, interpolators_g.F:478-496). Used by old-style
+    Cloudy tables."""
+    d1, d2, d3, d4 = data.shape
+    i1 = _uniform_index(x1, par1, d1)
+    i2 = _uniform_index(x2, par2, d2)
+    i3 = _uniform_index(x3, par3, d3)
+    i4 = jnp.clip(jnp.searchsorted(par4, x4, side="right") - 1, 0, d4 - 2)
+
+    def v4(q, w, e):
+        return _lerp(x4, par4[i4], par4[i4 + 1],
+                     data[i1 + q, i2 + w, i3 + e, i4],
+                     data[i1 + q, i2 + w, i3 + e, i4 + 1])
+
+    def v3(q, w):
+        return _lerp(x3, par3[i3], par3[i3 + 1], v4(q, w, 0), v4(q, w, 1))
+
+    def v2(q):
+        return _lerp(x2, par2[i2], par2[i2 + 1], v3(q, 0), v3(q, 1))
+
+    return _lerp(x1, par1[i1], par1[i1 + 1], v2(0), v2(1))
+
+
+def interpolate_5d(x1, x2, x3, x4, x5, par1, par2, par3, par4, par5, data):
+    """(interpolators_g.F:436-566); axis 4 by bisection as in the
+    reference."""
+    d1, d2, d3, d4, d5 = data.shape
+    i1 = _uniform_index(x1, par1, d1)
+    i2 = _uniform_index(x2, par2, d2)
+    i3 = _uniform_index(x3, par3, d3)
+    i4 = jnp.clip(jnp.searchsorted(par4, x4, side="right") - 1, 0, d4 - 2)
+    i5 = _uniform_index(x5, par5, d5)
+
+    def v5(q, w, e, r):
+        return _lerp(x5, par5[i5], par5[i5 + 1],
+                     data[i1 + q, i2 + w, i3 + e, i4 + r, i5],
+                     data[i1 + q, i2 + w, i3 + e, i4 + r, i5 + 1])
+
+    def v4(q, w, e):
+        return _lerp(x4, par4[i4], par4[i4 + 1],
+                     v5(q, w, e, 0), v5(q, w, e, 1))
+
+    def v3(q, w):
+        return _lerp(x3, par3[i3], par3[i3 + 1], v4(q, w, 0), v4(q, w, 1))
+
+    def v2(q):
+        return _lerp(x2, par2[i2], par2[i2 + 1], v3(q, 0), v3(q, 1))
+
+    return _lerp(x1, par1[i1], par1[i1 + 1], v2(0), v2(1))

@@ -12,10 +12,19 @@ TPU-native analogue of the reference unit plumbing:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
+
+import jax
 
 from .constants import kboltz, mh
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["density_units", "length_units", "time_units",
+                 "a_units", "a_value"],
+    meta_fields=["comoving_coordinates"],
+)
 @dataclasses.dataclass(frozen=True)
 class CodeUnits:
     """Unit system: conversion factors from code units to CGS.
