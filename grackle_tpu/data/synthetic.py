@@ -29,17 +29,26 @@ def _primordial_tables(log_nh, zgrid, log_T):
     heat = np.zeros((n_nh, n_z, n_T))
     mmw = np.zeros((n_nh, n_z, n_T))
     Y = 0.24
+    # neutral-gas limits where the equilibrium formulas underflow (low T)
+    y_he = Y / (4 - 4 * Y)  # n_He / n_H
+    mu_neutral = (1.0 + 4.0 * y_he) / (1.0 + y_he)
     for i, nhi in enumerate(nh):
-        lam = peq.total_cooling(T, nhi) / nhi**2  # erg cm^3/s
-        # equilibrium mean molecular weight
-        ntot = (peq.nHI(T, nhi) + peq.nHII(T, nhi)
-                + peq.nHeI(T, nhi, Y=Y) + peq.nHeII(T, nhi, Y=Y)
-                + peq.nHeIII(T, nhi, Y=Y) + peq.ne(T, nhi, Y=Y))
-        rho_over_mh = nhi + 4.0 * (
-            peq.nHeI(T, nhi, Y=Y) + peq.nHeII(T, nhi, Y=Y)
-            + peq.nHeIII(T, nhi, Y=Y)
-        )
-        mu = rho_over_mh / ntot
+        with np.errstate(all="ignore"):
+            lam = peq.total_cooling(T, nhi) / nhi**2  # erg cm^3/s
+            # equilibrium mean molecular weight
+            ntot = (peq.nHI(T, nhi) + peq.nHII(T, nhi)
+                    + peq.nHeI(T, nhi, Y=Y) + peq.nHeII(T, nhi, Y=Y)
+                    + peq.nHeIII(T, nhi, Y=Y) + peq.ne(T, nhi, Y=Y))
+            rho_over_mh = nhi + 4.0 * (
+                peq.nHeI(T, nhi, Y=Y) + peq.nHeII(T, nhi, Y=Y)
+                + peq.nHeIII(T, nhi, Y=Y)
+            )
+            mu = rho_over_mh / ntot
+        mu = np.where(np.isfinite(mu), mu, mu_neutral)
+        mu = np.clip(mu, 0.5, mu_neutral)
+        lam = np.where(np.isfinite(lam) & (lam > 0), lam, 1.0e-40)
+        # keep a tiny low-T floor so log10 is finite
+        lam = np.maximum(lam, 1.0e-40)
         for j, z in enumerate(zgrid):
             # weak redshift dependence stands in for the UVB's effect
             fz = 1.0 + 0.05 * np.log1p(z)
