@@ -1,0 +1,104 @@
+"""Benchmark: cells/sec/chip for the 12-species solve_chemistry.
+
+North-star metric (BASELINE.json): cells/sec/chip for the 12-species
+solve_chemistry with cooling-rate parity; target > 50x single-CPU-core
+throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against this same solver executed on a single
+pinned CPU core (the reference is a single-threaded-per-core OpenMP CPU
+code, so one CPU core is the baseline unit).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_TPU = int(os.environ.get("BENCH_N", 1_048_576))
+N_CPU = int(os.environ.get("BENCH_N_CPU", 16_384))
+DT = 1.0e-4  # Myr, in the bench unit system
+CHEM = 3
+
+
+def _run_solve(n, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    cd = ge._make_context(chem=CHEM)
+    fields = {
+        k: jnp.asarray(v) for k, v in ge._make_fields(cd, n).items()
+    }
+    dt = jnp.float64(DT)
+
+    # warmup + compile
+    new_f, diag = cd.solve_chemistry(fields, float(dt))
+    jax.block_until_ready(new_f["HI"])
+    n_iter = int(diag["n_iterations"])
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        new_f, diag = cd.solve_chemistry(fields, float(dt))
+        jax.block_until_ready(new_f["HI"])
+        best = min(best, time.perf_counter() - t0)
+    return n / best, n_iter, best
+
+
+def _cpu_baseline():
+    """Measure this solver on one pinned CPU core in a subprocess."""
+    code = (
+        "import os\n"
+        "os.sched_setaffinity(0, {0})\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS','') + "
+        "' --xla_cpu_multi_thread_eigen=false "
+        "intra_op_parallelism_threads=1').strip()\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import bench\n"
+        f"rate, n_iter, t = bench._run_solve({N_CPU}, repeats=2)\n"
+        "print('CPU_RATE', rate)\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CPU_RATE"):
+                return float(line.split()[1])
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+    except Exception as exc:  # noqa: BLE001
+        sys.stderr.write(f"cpu baseline failed: {exc}\n")
+    return None
+
+
+def main():
+    rate, n_iter, t = _run_solve(N_TPU)
+    cpu_rate = _cpu_baseline()
+    vs = rate / cpu_rate if cpu_rate else None
+    result = {
+        "metric": "cells/sec/chip solve_chemistry "
+                  "(12-species + metals + dust)",
+        "value": rate,
+        "unit": "cells/s",
+        "vs_baseline": vs,
+        "detail": {
+            "n_cells": N_TPU,
+            "subcycles": n_iter,
+            "wall_s": t,
+            "cpu_core_cells_per_s": cpu_rate,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -111,6 +111,17 @@ def initialize(cfg: "ChemistryConfig", units: CodeUnits) -> GrackleContext:
             cfg = dataclasses.replace(cfg, **updates)
 
     tables = build_rate_tables(cfg, units)
+
+    from . import info as _info
+    if _info.grackle_verbose:
+        v = __import__(
+            "grackle_tpu.version", fromlist=["get_grackle_version"]
+        ).get_grackle_version()
+        print(f"grackle_tpu {v.version} ({v.branch}@{v.revision[:12]})")
+        print("Initializing grackle_tpu data.")
+        _info.show_parameters(cfg)
+        _info.write_info_file(cfg, units)
+
     return GrackleContext(
         config=cfg,
         units=units,
@@ -374,6 +385,11 @@ class ChemistryData:
     @property
     def cooling_units(self):
         return self.code_units.coolunit
+
+    def set_velocity_units(self):
+        """No-op for API parity: velocity units are always derived from
+        length/time/a (grackle_units.c:24-36)."""
+        return self.velocity_units
 
     # --- lifecycle ---
 
