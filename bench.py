@@ -22,6 +22,9 @@ N_TPU = int(os.environ.get("BENCH_N", 1_048_576))
 N_CPU = int(os.environ.get("BENCH_N_CPU", 16_384))
 DT = 1.0e-4  # Myr, in the bench unit system
 CHEM = 3
+# float32 is the TPU-native production mode (v5e has no hardware f64); it
+# is the runtime analogue of the reference's CONFIG_PRECISION=32 build.
+PRECISION = int(os.environ.get("BENCH_PRECISION", 32))
 
 
 def _run_solve(n, repeats=3):
@@ -30,7 +33,7 @@ def _run_solve(n, repeats=3):
 
     import __graft_entry__ as ge
 
-    cd = ge._make_context(chem=CHEM)
+    cd = ge._make_context(chem=CHEM, precision=PRECISION)
     fields = {
         k: jnp.asarray(v) for k, v in ge._make_fields(cd, n).items()
     }
@@ -86,7 +89,7 @@ def main():
     vs = rate / cpu_rate if cpu_rate else None
     result = {
         "metric": "cells/sec/chip solve_chemistry "
-                  "(12-species + metals + dust)",
+                  f"(12-species + metals + dust, f{PRECISION})",
         "value": rate,
         "unit": "cells/s",
         "vs_baseline": vs,

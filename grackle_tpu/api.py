@@ -84,11 +84,13 @@ def initialize(cfg: "ChemistryConfig", units: CodeUnits) -> GrackleContext:
     if read_prim or read_met:
         cloudy_data_new = not is_old_style(cfg.grackle_data_file)
 
+    from .ops.common import solver_dtype as _sd
+
     cloudy_prim = (
         load_cloudy_table(
             cfg.grackle_data_file, "Primordial", units,
             read_heating=cfg.UVbackground == 1,
-            read_mmw=True,
+            read_mmw=True, dtype=_sd(cfg),
         )
         if read_prim
         else empty_cloudy_table()
@@ -97,7 +99,7 @@ def initialize(cfg: "ChemistryConfig", units: CodeUnits) -> GrackleContext:
         load_cloudy_table(
             cfg.grackle_data_file, "Metals", units,
             read_heating=cfg.UVbackground == 1,
-            read_mmw=False,
+            read_mmw=False, dtype=_sd(cfg),
         )
         if read_met
         else empty_cloudy_table()
@@ -105,12 +107,14 @@ def initialize(cfg: "ChemistryConfig", units: CodeUnits) -> GrackleContext:
 
     uvb = None
     if cfg.UVbackground == 1 and cfg.primordial_chemistry > 0:
-        uvb = load_uvb_table(cfg.grackle_data_file, cfg)
+        uvb = load_uvb_table(cfg.grackle_data_file, cfg, dtype=_sd(cfg))
         updates = uvb_redshift_bounds(cfg, uvb)
         if updates:
             cfg = dataclasses.replace(cfg, **updates)
 
-    tables = build_rate_tables(cfg, units)
+    from .ops.common import solver_dtype
+
+    tables = build_rate_tables(cfg, units, dtype=solver_dtype(cfg))
 
     from . import info as _info
     if _info.grackle_verbose:
@@ -204,12 +208,16 @@ def _dust_temperature_core(cfg, tables, cloudy_prim, units, fields,
 
 
 def _prep_fields(ctx, fields):
-    """Convert a field dict to f64 jnp arrays; detect the metal field."""
+    """Convert a field dict to the solver dtype (the gr_float analogue);
+    detect the metal field."""
+    from .ops.common import solver_dtype
+
+    dtype = solver_dtype(ctx.config)
     f = {}
     for key, val in fields.items():
         if val is None:
             continue
-        f[key] = jnp.asarray(val, dtype=jnp.float64)
+        f[key] = jnp.asarray(val, dtype=dtype)
     imetal = "metal" in f
     return f, imetal
 
@@ -253,9 +261,13 @@ def solve_chemistry(ctx: GrackleContext, fields, dt,
         l_h2 = sobolev_shield_length(
             d_grid, grid_dx, us.dom, us.xbase1, us.dx_cgs
         )
+    from .ops.common import solver_dtype
+
+    dtype = solver_dtype(cfg)
     new_f, n_iter, converged = _solve_chemistry_core(
         cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
-        ctx.uvb, ctx.units, f, jnp.float64(dt), jnp.float64(grid_dx),
+        ctx.uvb, ctx.units, f, jnp.asarray(dt, dtype),
+        jnp.asarray(grid_dx, dtype),
         l_h2, imetal, ctx.cloudy_data_new,
         bool(ctx.units.comoving_coordinates),
     )

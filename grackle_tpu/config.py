@@ -81,6 +81,13 @@ PARAMETER_REGISTRY: Dict[str, Tuple[type, Any]] = {
     "collisional_ionisation_rates": (int, 1),
     "recombination_cooling_rates": (int, 1),
     "bremsstrahlung_cooling_rates": (int, 1),
+    # Extension: solver floating-point precision, the runtime analogue of
+    # the reference's compile-time CONFIG_PRECISION=32/64 gr_float choice
+    # (grackle_types.h:24-34, Make.config.settings:23).  64 matches the
+    # double-precision reference bit-for-bit in logic; 32 runs natively on
+    # the TPU VPU (v5e has no hardware f64) at ~1e-5 relative accuracy,
+    # the same tolerance class as the reference's float build.
+    "precision": (int, 64),
     # Extension (not in the reference registry): selects the H2 cooling
     # function, replacing the reference's compile-time choice
     # (cool1d_multi_g.F:470-624). 0 = Glover & Abel 2008 (the reference's

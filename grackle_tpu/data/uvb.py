@@ -135,7 +135,10 @@ def update_uvb_rates(cfg, uvb: UVBTable, units) -> PhotoRates:
     Everything is traced jnp scalar math so this lives inside the solve jit;
     redshift enters through ``units.a_value``.
     """
-    zero = jnp.float64(0.0)
+    from ..ops.common import solver_dtype
+
+    dtype = solver_dtype(cfg)
+    zero = jnp.zeros((), dtype)
     out = {name: zero for name in
            ["k24", "k25", "k26", "k27", "k28", "k29", "k30", "k31",
             "piHI", "piHeI", "piHeII", "crsHI", "crsHeI", "crsHeII",
@@ -209,8 +212,9 @@ def update_uvb_rates(cfg, uvb: UVBTable, units) -> PhotoRates:
 
     # LW background override (update_UVbackground_rates.c:241-256)
     if cfg.LWbackground_intensity > 0.0:
-        out["k31"] = jnp.float64(
-            1.38e-12 * cfg.LWbackground_intensity * units.time_units
+        out["k31"] = jnp.asarray(
+            1.38e-12 * cfg.LWbackground_intensity * units.time_units,
+            dtype,
         )
     if cfg.LWbackground_sawtooth_suppression:
         out["k31"] = out["k31"] * (0.1 + 0.9 * ramp)
@@ -237,6 +241,7 @@ def update_uvb_rates(cfg, uvb: UVBTable, units) -> PhotoRates:
     # Outside [redshift_off, redshift_on] the reference returns before
     # computing anything, leaving every rate zero
     # (update_UVbackground_rates.c:36-41).
-    out = {k: jnp.where(active, v, 0.0) for k, v in out.items()}
+    out = {k: jnp.where(active, v, 0.0).astype(dtype)
+           for k, v in out.items()}
 
     return PhotoRates(**out)

@@ -143,35 +143,39 @@ class FluidContainer(dict):
         )
         for name, val in new_f.items():
             if name in self:
-                self[name] = np.asarray(val)
+                # preserve the container dtype regardless of solver
+                # precision
+                self[name] = np.asarray(val, dtype=self.dtype)
 
     def calculate_cooling_time(self):
         self["cooling_time"] = np.asarray(
             self.chemistry_data.calculate_cooling_time(
                 self._solver_fields()
-            )
+            ), dtype=self.dtype,
         )
 
     def calculate_temperature(self):
         self["temperature"] = np.asarray(
             self.chemistry_data.calculate_temperature(
                 self._solver_fields()
-            )
+            ), dtype=self.dtype,
         )
 
     def calculate_pressure(self):
         self["pressure"] = np.asarray(
-            self.chemistry_data.calculate_pressure(self._solver_fields())
+            self.chemistry_data.calculate_pressure(self._solver_fields()),
+            dtype=self.dtype,
         )
 
     def calculate_gamma(self):
         self["gamma"] = np.asarray(
-            self.chemistry_data.calculate_gamma(self._solver_fields())
+            self.chemistry_data.calculate_gamma(self._solver_fields()),
+            dtype=self.dtype,
         )
 
     def calculate_dust_temperature(self):
         self["dust_temperature"] = np.asarray(
             self.chemistry_data.calculate_dust_temperature(
                 self._solver_fields()
-            )
+            ), dtype=self.dtype,
         )

@@ -27,7 +27,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..constants import kboltz, mass_h, tiny, tiny8
+from ..constants import kboltz, mass_h, tiny
+from .common import dtype_tiny8
 from .lookup import TableIndex, lookup, table_index
 
 _K_NAMES_6 = ["k1", "k2", "k3", "k4", "k5", "k6", "k57", "k58"]
@@ -99,6 +100,7 @@ def lookup_cool_rates(
     """
     ispecies = cfg.primordial_chemistry
     anydust = (cfg.h2_on_dust > 0) or (cfg.dust_chemistry > 0)
+    tiny8 = dtype_tiny8(tgas.dtype)
     logtem = jnp.log(tgas)
     ti = table_index(
         logtem, cfg.NumberOfTemperatureBins,
@@ -369,6 +371,7 @@ def step_rate(cfg, rs: RateState, f, us, dtit, rhoH):
     anydust = (cfg.h2_on_dust > 0) or (cfg.dust_chemistry > 0)
     irt = cfg.use_radiative_transfer == 1
     rt_all = irt and (cfg.radiative_transfer_hydrogen_only == 0)
+    tiny8 = dtype_tiny8(f["density"].dtype)
     k = rs.k
     s = rs.shields
     de, HI, HII = f["de"], f["HI"], f["HII"]

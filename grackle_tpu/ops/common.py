@@ -12,6 +12,37 @@ import jax.numpy as jnp
 from ..constants import GravConst, kboltz, mh, pi_val
 
 
+def solver_dtype(cfg):
+    """Field/solver dtype from the precision parameter (analogue of the
+    gr_float compile-time choice, grackle_types.h:24-34)."""
+    return jnp.float64 if cfg.precision == 64 else jnp.float32
+
+
+def dtype_tiny8(dtype):
+    """The reference's tiny8 = 1e-40 double floor
+    (grackle_fortran_types.def); for float32 use 1e-37 (smallest normal is
+    ~1.18e-38 and TPUs flush subnormals to zero)."""
+    if dtype == jnp.float64:
+        return 1.0e-40
+    return 1.0e-37
+
+
+def dtype_huge8(dtype):
+    """huge8 = 1e40 (grackle_fortran_types.def); 1e37 for float32 where
+    1e40 would overflow to inf."""
+    if dtype == jnp.float64:
+        return 1.0e40
+    return 1.0e37
+
+
+def dtype_tolerance(dtype):
+    """Subcycle completion tolerance (solve_rate_cool_g.F:255-263):
+    1e-10 for the double build, 1e-5 for the float build."""
+    if dtype == jnp.float64:
+        return 1.0e-10
+    return 1.0e-5
+
+
 _US_FIELDS = [
     "dom", "coolunit", "tbase1", "xbase1", "dbase1", "uvel", "utem",
     "chunit", "dx_cgs", "c_ljeans", "aye", "zr", "comp1", "comp2",
@@ -71,21 +102,22 @@ def make_unit_scalars(cfg, tables, units, grid_dx=0.0):
     zr = 1.0 / (aye * uaye) - 1.0
     comp1 = tables.comp * (1.0 + zr) ** 4
     comp2 = 2.73 * (1.0 + zr)
+    dt = solver_dtype(cfg)
     return UnitScalars(
-        dom=jnp.float64(dom),
-        coolunit=jnp.float64(coolunit),
-        tbase1=jnp.float64(tbase1),
-        xbase1=jnp.float64(xbase1),
-        dbase1=jnp.float64(dbase1),
-        uvel=jnp.float64(uvel),
-        utem=jnp.float64(utem),
-        chunit=jnp.float64(chunit),
-        dx_cgs=jnp.float64(dx_cgs),
-        c_ljeans=jnp.float64(c_ljeans),
-        aye=jnp.float64(aye),
-        zr=jnp.float64(zr),
-        comp1=comp1,
-        comp2=jnp.float64(comp2),
+        dom=jnp.asarray(dom, dt),
+        coolunit=jnp.asarray(coolunit, dt),
+        tbase1=jnp.asarray(tbase1, dt),
+        xbase1=jnp.asarray(xbase1, dt),
+        dbase1=jnp.asarray(dbase1, dt),
+        uvel=jnp.asarray(uvel, dt),
+        utem=jnp.asarray(utem, dt),
+        chunit=jnp.asarray(chunit, dt),
+        dx_cgs=jnp.asarray(dx_cgs, dt),
+        c_ljeans=jnp.asarray(c_ljeans, dt),
+        aye=jnp.asarray(aye, dt),
+        zr=jnp.asarray(zr, dt),
+        comp1=jnp.asarray(comp1, dt),
+        comp2=jnp.asarray(comp2, dt),
     )
 
 

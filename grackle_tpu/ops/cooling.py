@@ -16,7 +16,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..constants import mh, tiny, tiny8
+from ..constants import mh, tiny
+from .common import dtype_tiny8
 from . import cloudy_cool
 from .dust_temp import calc_tdust_1d
 from .lookup import lookup, table_index
@@ -151,6 +152,7 @@ def cool1d_multi(
     )
     igammah = cfg.photoelectric_heating
     d = f["density"]
+    tiny8 = dtype_tiny8(d.dtype)
 
     p2d, tgas, mmw, rhoH, myde, metallicity, mynh = (
         compute_temperature_state(cfg, cloudy_prim, us, f, imetal)

@@ -21,12 +21,10 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ..constants import tiny, tiny8, huge8
+from ..constants import tiny
 from . import chemistry_step as cs
+from .common import dtype_huge8, dtype_tiny8, dtype_tolerance
 from .cooling import cool1d_multi
-
-# float64 build tolerance (solve_rate_cool_g.F:260-263)
-TOLERANCE = 1.0e-10
 
 _SPECIES_1 = ["de", "HI", "HII", "HeI", "HeII", "HeIII"]
 _SPECIES_2 = ["HM", "H2I", "H2II"]
@@ -143,6 +141,10 @@ def solve_rate_cool(
     """
     ispecies = cfg.primordial_chemistry
     d_shape = f["density"].shape
+    dtype = f["density"].dtype
+    tiny8 = dtype_tiny8(dtype)
+    huge8 = dtype_huge8(dtype)
+    tolerance = dtype_tolerance(dtype)
 
     f = dict(f)
 
@@ -286,7 +288,7 @@ def solve_rate_cool(
         # advance cell clocks and retire finished cells
         # (solve_rate_cool_g.F:803-813)
         ttot_new = jnp.minimum(ttot + jnp.where(itmask, dtit, dt), dt)
-        itmask_new = itmask & (jnp.abs(dt - ttot_new) >= TOLERANCE * dt)
+        itmask_new = itmask & (jnp.abs(dt - ttot_new) >= tolerance * dt)
 
         tgasold_new = jnp.where(itmask, cool.tgasold, carry["tgasold"])
 

@@ -80,7 +80,10 @@ def solve_chemistry_sharded(
     tables = ctx.tables
     imetal = "metal" in fields
 
-    f = {k: jnp.asarray(v, dtype=jnp.float64)
+    from ..ops.common import solver_dtype
+
+    dtype = solver_dtype(cfg)
+    f = {k: jnp.asarray(v, dtype=dtype)
          for k, v in fields.items() if v is not None}
     n_dev = mesh.shape[axis_name]
     f, n_orig = pad_to_multiple(f, n_dev)
@@ -126,7 +129,8 @@ def solve_chemistry_sharded(
             out_specs=out_specs, check_vma=False,
         )(f, l_h2)
 
-    new_f, n_iter, converged = run(f, jnp.float64(dt), l_h2shield_field)
+    new_f, n_iter, converged = run(
+        f, jnp.asarray(dt, dtype), l_h2shield_field)
     new_f = {k: v[:n_orig] for k, v in new_f.items()}
     diagnostics = {
         # per-shard subcycle counts, shape [n_devices]
