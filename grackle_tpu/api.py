@@ -73,6 +73,14 @@ def initialize(cfg: "ChemistryConfig", units: CodeUnits) -> GrackleContext:
     units.validate()
     cfg = resolve_config(cfg)
 
+    if cfg.use_fused_lookup < 0:
+        # auto: fused two-hot matmul lookups on accelerators, native
+        # gathers on CPU
+        backend = jax.default_backend()
+        cfg = dataclasses.replace(
+            cfg, use_fused_lookup=0 if backend == "cpu" else 1
+        )
+
     cloudy_data_new = True
     read_prim = cfg.primordial_chemistry == 0
     read_met = cfg.metal_cooling == 1

@@ -81,6 +81,14 @@ PARAMETER_REGISTRY: Dict[str, Tuple[type, Any]] = {
     "collisional_ionisation_rates": (int, 1),
     "recombination_cooling_rates": (int, 1),
     "bremsstrahlung_cooling_rates": (int, 1),
+    # Extension: fused table lookups. TPU has no fast per-lane gather
+    # inside device loops (measured ~0.4 ms per gathered table per
+    # subcycle); with this on, all log-T table lookups in the subcycle
+    # body become ONE two-hot matmul against a stacked table matrix on
+    # the MXU (the linear-interpolation weights are folded into the
+    # one-hot rows), ~50x faster. -1 = auto (on for TPU backends, off for
+    # CPU where native gathers win), 0 = off, 1 = on.
+    "use_fused_lookup": (int, -1),
     # Extension: solver floating-point precision, the runtime analogue of
     # the reference's compile-time CONFIG_PRECISION=32/64 gr_float choice
     # (grackle_types.h:24-34, Make.config.settings:23).  64 matches the

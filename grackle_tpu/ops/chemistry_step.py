@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..constants import kboltz, mass_h, tiny
 from .common import dtype_tiny8
-from .lookup import TableIndex, lookup, table_index
+from .lookup import (TableIndex, TableLookup, h2dust_lookup,
+                     lookup, table_index)
 
 _K_NAMES_6 = ["k1", "k2", "k3", "k4", "k5", "k6", "k57", "k58"]
 _K_NAMES_9 = ["k7", "k8", "k9", "k10", "k11", "k12", "k13", "k14", "k15",
@@ -107,22 +108,23 @@ def lookup_cool_rates(
         cfg.TemperatureStart, cfg.TemperatureEnd,
     )
 
+    fused = cfg.use_fused_lookup == 1
+    lk = TableLookup(tables, ti, fused)
+
     k = {}
     for name in _K_NAMES_6:
-        k[name] = lookup(getattr(tables, name), ti)
+        k[name] = lk[name]
     if ispecies > 1:
         for name in _K_NAMES_9:
-            k[name] = lookup(getattr(tables, name), ti)
+            k[name] = lk[name]
     if ispecies > 2:
         for name in _K_NAMES_12:
-            k[name] = lookup(getattr(tables, name), ti)
+            k[name] = lk[name]
 
     k13dd = None
     if ispecies > 1:
         # (N, 14): coefficient lerp at shared indices
-        lo = tables.k13dd[ti.idx, :]
-        hi = tables.k13dd[ti.idx + 1, :]
-        k13dd = lo + (hi - lo) * ti.tdef[:, None]
+        k13dd = lk.k13dd_matrix()
 
     h2dust = None
     if anydust:
@@ -131,13 +133,7 @@ def lookup_cool_rates(
             jnp.log(tdust), cfg.NumberOfDustTemperatureBins,
             cfg.DustTemperatureStart, cfg.DustTemperatureEnd,
         )
-        t00 = tables.h2dust[ti.idx, d_ti.idx]
-        t10 = tables.h2dust[ti.idx + 1, d_ti.idx]
-        t01 = tables.h2dust[ti.idx, d_ti.idx + 1]
-        t11 = tables.h2dust[ti.idx + 1, d_ti.idx + 1]
-        dusti1 = t00 + (t10 - t00) * ti.tdef
-        dusti2 = t01 + (t11 - t01) * ti.tdef
-        h2dust = dusti1 + (dusti2 - dusti1) * d_ti.tdef
+        h2dust = h2dust_lookup(tables.h2dust, ti, d_ti, fused)
         h2dust = h2dust * dust2gas
         # dust melts above the table end (solve_rate_cool_g.F:1337-1340)
         h2dust = jnp.where(tdust > cfg.DustTemperatureEnd, tiny8, h2dust)

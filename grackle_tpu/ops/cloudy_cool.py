@@ -24,6 +24,7 @@ def cloudy_cooling(
     icmbTfloor: int,
     iClHeat: int,
     iZscale: int,
+    use_fused: bool = False,
 ):
     """Return the Cloudy-table edot contribution (code units).
 
@@ -39,9 +40,46 @@ def cloudy_cooling(
     log_n_h = jnp.log10(rhoH * dom)
 
     rank = cloudy.grid_rank
+    zi0 = end_int = None
     if rank == 3:
         d2 = cloudy.grid_dimension[1]
         zi0, end_int = interp.redshift_index(zr, cloudy.par2, d2)
+
+    if use_fused:
+        # gather-free path: contract density/redshift axes once, then
+        # row-wise two-hot temperature interpolation (see ops/interp.py)
+        par_t = [cloudy.par1, cloudy.par2, cloudy.par3][rank - 1]
+        dtype = logtem.dtype
+        cool_rows = interp.temperature_rows(
+            cloudy, cloudy.cooling, log_n_h, zr, zi0, end_int, dtype
+        )
+        log_cool = interp.rows_at_temperature(cool_rows, par_t, log10tem)
+        edot_met = -(10.0**log_cool)
+
+        if icmbTfloor == 1:
+            log_cool_cmb = interp.rows_at_scalar_temperature(
+                cool_rows, par_t, log10_tCMB
+            )
+            edot_met = jnp.where(
+                (log10tem - log10_tCMB) < 2.0,
+                edot_met + 10.0**log_cool_cmb,
+                edot_met,
+            )
+
+        if iClHeat == 1 and cloudy.heating is not None:
+            heat_rows = interp.temperature_rows(
+                cloudy, cloudy.heating, log_n_h, zr, zi0, end_int, dtype
+            )
+            heat = 10.0 ** interp.rows_at_temperature(
+                heat_rows, par_t, log10tem
+            )
+            if rank == 3:
+                heat = jnp.where(end_int, 0.0, heat)
+            edot_met = edot_met + heat
+
+        if iZscale == 1:
+            edot_met = edot_met * metallicity
+        return edot_met * rhoH * rhoH
 
     def table_interp(data, x_temp):
         if rank == 1:

@@ -20,7 +20,7 @@ from ..constants import mh, tiny
 from .common import dtype_tiny8
 from . import cloudy_cool
 from .dust_temp import calc_tdust_1d
-from .lookup import lookup, table_index
+from .lookup import TableLookup, lookup, table_index
 from .tabulated_temp import tabulated_temperature
 
 MU_METAL = 16.0  # approx. mean molecular weight of metals
@@ -82,6 +82,7 @@ def compute_temperature_state(cfg, cloudy_prim, us, f, imetal: bool):
         tgas, mmw = tabulated_temperature(
             cloudy_prim, d, metal, e, rhoH, us.dom, us.zr,
             cfg.TemperatureStart, gamma, us.utem, imetal,
+            use_fused=cfg.use_fused_lookup == 1,
         )
         myde = jnp.zeros_like(d)  # recomputed from mmw later
     else:
@@ -167,6 +168,8 @@ def cool1d_multi(
         cfg.TemperatureStart, cfg.TemperatureEnd,
     )
 
+    lk = TableLookup(tables, ti, cfg.use_fused_lookup == 1)
+
     edot = jnp.zeros_like(d)
     dom = us.dom
     dom_inv = 1.0 / dom
@@ -176,18 +179,18 @@ def cool1d_multi(
         de = f["de"]
         HI, HII = f["HI"], f["HII"]
         HeI, HeII, HeIII = f["HeI"], f["HeII"], f["HeIII"]
-        ceHI = lookup(tables.ceHI, ti)
-        ceHeI = lookup(tables.ceHeI, ti)
-        ceHeII = lookup(tables.ceHeII, ti)
-        ciHI = lookup(tables.ciHI, ti)
-        ciHeI = lookup(tables.ciHeI, ti)
-        ciHeIS = lookup(tables.ciHeIS, ti)
-        ciHeII = lookup(tables.ciHeII, ti)
-        reHII = lookup(tables.reHII, ti)
-        reHeII1 = lookup(tables.reHeII1, ti)
-        reHeII2 = lookup(tables.reHeII2, ti)
-        reHeIII = lookup(tables.reHeIII, ti)
-        brem = lookup(tables.brem, ti)
+        ceHI = lk["ceHI"]
+        ceHeI = lk["ceHeI"]
+        ceHeII = lk["ceHeII"]
+        ciHI = lk["ciHI"]
+        ciHeI = lk["ciHeI"]
+        ciHeIS = lk["ciHeIS"]
+        ciHeII = lk["ciHeII"]
+        reHII = lk["reHII"]
+        reHeII1 = lk["reHeII1"]
+        reHeII2 = lk["reHeII2"]
+        reHeIII = lk["reHeIII"]
+        brem = lk["brem"]
         edot = edot + (
             # collisional excitation
             - ceHI * HI * de
@@ -222,12 +225,12 @@ def cool1d_multi(
         variant = getattr(cfg, "h2_cooling_variant", 0)
         if variant == 0:
             # Glover & Abel 2008 (default; cool1d_multi_g.F:470-526)
-            gaHI = lookup(tables.GAHI, ti)
-            gaH2 = lookup(tables.GAH2, ti)
-            gaHe = lookup(tables.GAHe, ti)
-            gaHp = lookup(tables.GAHp, ti)
-            gael = lookup(tables.GAel, ti)
-            h2lte = lookup(tables.H2LTE, ti)
+            gaHI = lk["GAHI"]
+            gaH2 = lk["GAH2"]
+            gaHe = lk["GAHe"]
+            gaHp = lk["GAHp"]
+            gael = lk["GAel"]
+            h2lte = lk["H2LTE"]
             galdl = (
                 gaHI * HI + gaH2 * H2I / 2.0 + gaHe * f["HeI"] / 4.0
                 + gaHp * HII + gael * de
@@ -239,8 +242,8 @@ def cool1d_multi(
             )
         elif variant == 1:
             # Galli & Palla 1999 (cool1d_multi_g.F:534-575)
-            gpldl = lookup(tables.GP99LowDensityLimit, ti)
-            gphdl = lookup(tables.GP99HighDensityLimit, ti)
+            gpldl = lk["GP99LowDensityLimit"]
+            gphdl = lk["GP99HighDensityLimit"]
             gphdl1 = gphdl / (HI * dom)
             edot = edot - (
                 cfg.ih2co * fudge * H2I * gphdl
@@ -248,11 +251,11 @@ def cool1d_multi(
             )
         else:
             # Lepp & Shull (cool1d_multi_g.F:579-621)
-            hyd01k = lookup(tables.hyd01k, ti)
-            h2k01 = lookup(tables.h2k01, ti)
-            vibh = lookup(tables.vibh, ti)
-            roth = lookup(tables.roth, ti)
-            rotl = lookup(tables.rotl, ti)
+            hyd01k = lk["hyd01k"]
+            h2k01 = lk["h2k01"]
+            vibh = lk["vibh"]
+            roth = lk["roth"]
+            rotl = lk["rotl"]
             qq = 1.2 * (HI * dom) ** 0.77 + (H2I * dom / 2.0) ** 0.77
             vibl = (HI * hyd01k + H2I / 2.0 * h2k01) * dom * 8.18e-13
             edot = edot - cfg.ih2co * fudge * H2I * (
@@ -263,7 +266,7 @@ def cool1d_multi(
         # CIE cooling with Ripamonti & Abel 2003 tau attenuation
         # (cool1d_multi_g.F:630-649)
         if cfg.cie_cooling == 1:
-            cieco = lookup(tables.cieco, ti)
+            cieco = lk["cieco"]
             tau1 = jnp.maximum(((d / 2.0e16) * dom) ** 2.8, 1.0e-5)
             ciefudge = jnp.minimum((1.0 - jnp.exp(-tau1)) / tau1, 1.0)
             tau2 = jnp.maximum(((d / 2.0e18) * dom) ** 8.0, 1.0e-5)
@@ -275,8 +278,8 @@ def cool1d_multi(
 
     # --- HD cooling (cool1d_multi_g.F:655-686) ---
     if ispecies > 2:
-        hdlte_t = lookup(tables.HDlte, ti)
-        hdlow_t = lookup(tables.HDlow, ti)
+        hdlte_t = lk["HDlte"]
+        hdlow_t = lk["HDlow"]
         above_cmb = tgas > us.comp2
         hdlte = jnp.where(above_cmb, hdlte_t, tiny)
         hdlow = jnp.where(above_cmb, hdlow_t, tiny)
@@ -305,7 +308,7 @@ def cool1d_multi(
     #     (cool1d_multi_g.F:726-753) ---
     tdust = jnp.zeros_like(d)
     if anydust:
-        gasgr = lookup(tables.gas_grain, ti)
+        gasgr = lk["gas_grain"]
         gasgr_tdust = (
             cfg.local_dust_to_gas_ratio * gasgr * us.coolunit / mh
         )
@@ -362,6 +365,7 @@ def cool1d_multi(
         edot = edot + cloudy_cool.cloudy_cooling(
             cloudy_prim, logtem, rhoH, metallicity, dom, us.zr, us.comp2,
             icmbTfloor=0, iClHeat=cfg.UVbackground, iZscale=0,
+            use_fused=cfg.use_fused_lookup == 1,
         )
         # electron density from mean molecular weight
         # (cool1d_multi_g.F:932-945)
@@ -394,7 +398,7 @@ def cool1d_multi(
 
     # --- grain recombination cooling (cool1d_multi_g.F:1005-1023) ---
     if (cfg.dust_chemistry > 0) or (cfg.dust_recombination_cooling > 0):
-        regr = lookup(tables.regr, ti)
+        regr = lk["regr"]
         grbeta = 0.74 / tgas**0.068
         edot = edot - (
             regr * (myisrf * dom_inv / myde) ** grbeta
@@ -419,6 +423,7 @@ def cool1d_multi(
                 cloudy_met, logtem, rhoH, metallicity, dom, us.zr,
                 us.comp2, icmbTfloor=cfg.cmb_temperature_floor,
                 iClHeat=cfg.UVbackground, iZscale=1,
+                use_fused=cfg.use_fused_lookup == 1,
             )
         else:
             de_for_old = f["de"] if ispecies > 0 else myde

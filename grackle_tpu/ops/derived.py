@@ -65,6 +65,7 @@ def calculate_temperature(cfg, cloudy_prim, us, f, imetal: bool):
         tgas, _ = tabulated_temperature(
             cloudy_prim, d, metal, f["energy"], rhoH, us.dom, us.zr,
             cfg.TemperatureStart, cfg.Gamma, us.utem, imetal,
+            use_fused=cfg.use_fused_lookup == 1,
         )
         return tgas
 

@@ -19,6 +19,7 @@ Conventions match the reference exactly:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -128,6 +129,92 @@ def interpolate_3dz(x1, zr, x3, par1, par2, par3, data, zi0, end_int):
     flat = _lerp(x1, par1[i1], par1[i1 + 1], f3(0), f3(1))
 
     return jnp.where(end_int, flat, full)
+
+
+# ---------------------------------------------------------------------------
+# Fused (gather-free) Cloudy interpolation for inside device loops: the
+# redshift axis collapses to a per-call scalar weight, the density axis
+# contracts with per-cell two-hot weights on the MXU, and the temperature
+# axis contracts row-wise.  Semantics (including linear extrapolation past
+# the grid edges) match the reference interpolators exactly.
+# ---------------------------------------------------------------------------
+
+
+def _uniform_frac(x, par, dim):
+    """Clamped bracket index + unclamped linear fraction (extrapolating
+    beyond the grid edges like interpolators_g.F:29-37)."""
+    i = _uniform_index(x, par, dim)
+    frac = (x - par[i]) / (par[i + 1] - par[i])
+    return i, frac
+
+
+def _twohot(idx, frac, dim, dtype):
+    from .lookup import twohot_weights
+
+    return twohot_weights(idx, frac, dim, dtype)
+
+
+def collapse_redshift(data, par2, zr, zi0, end_int):
+    """Collapse the (D1, D2, D3) cube's redshift axis at scalar zr using
+    the log(1+z) rule (interpolators_g.F:252-257), honoring the
+    past-the-end 2-D fallback.  Returns (D1, D3)."""
+    d2 = data.shape[1]
+    zi = jnp.clip(zi0, 0, d2 - 2)
+    lo = jnp.take(data, zi, axis=1)
+    hi = jnp.take(data, zi + 1, axis=1)
+    wz = jnp.log((1.0 + zr) / (1.0 + par2[zi])) / jnp.log(
+        (1.0 + par2[zi + 1]) / (1.0 + par2[zi])
+    )
+    full = lo + wz * (hi - lo)
+    last = jnp.take(data, jnp.clip(zi0, 0, d2 - 1), axis=1)
+    return jnp.where(end_int, last, full)
+
+
+def temperature_rows(cloudy, data, log_n_h, zr, zi0, end_int, dtype):
+    """Contract every non-temperature axis of a rank 1-3 Cloudy table,
+    returning per-cell temperature rows of shape (N, D_T)."""
+    rank = cloudy.grid_rank
+    if rank == 1:
+        return jnp.broadcast_to(
+            data[None, :], (log_n_h.shape[0], data.shape[0])
+        )
+    if rank == 3:
+        data = collapse_redshift(data, cloudy.par2, zr, zi0, end_int)
+    d1 = data.shape[0]
+    i1, f1 = _uniform_frac(log_n_h, cloudy.par1, d1)
+    w1 = _twohot(i1, f1, d1, dtype)
+    return jax.lax.dot_general(
+        w1, data,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype,
+    )
+
+
+def rows_at_temperature(rows, par_t, x_t):
+    """Row-wise temperature interpolation of (N, D_T) rows at per-cell
+    temperatures x_t."""
+    d_t = rows.shape[1]
+    i_t, f_t = _uniform_frac(x_t, par_t, d_t)
+    w_t = _twohot(i_t, f_t, d_t, rows.dtype)
+    return jnp.sum(rows * w_t, axis=1)
+
+
+def rows_at_scalar_temperature(rows, par_t, x_scalar):
+    """Row interpolation at one scalar temperature (e.g. T_CMB): a matvec
+    with a two-element interpolation vector."""
+    d_t = rows.shape[1]
+    i = jnp.clip(
+        jnp.floor(
+            (x_scalar - par_t[0])
+            / ((par_t[d_t - 1] - par_t[0]) / (d_t - 1))
+        ).astype(jnp.int32),
+        0, d_t - 2,
+    )
+    frac = (x_scalar - par_t[i]) / (par_t[i + 1] - par_t[i])
+    lo = jax.lax.dynamic_slice_in_dim(rows, i, 1, axis=1)[:, 0]
+    hi = jax.lax.dynamic_slice_in_dim(rows, i + 1, 1, axis=1)[:, 0]
+    return lo + frac * (hi - lo)
 
 
 def interpolate_4d(x1, x2, x3, x4, par1, par2, par3, par4, data):

@@ -85,11 +85,27 @@ def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit):
     ) / (cfg.NumberOfTemperatureBins - 1)
     ti = rs.ti
     k13a, k22a = tables.k13, tables.k22
+    fused = cfg.use_fused_lookup == 1
+    if fused:
+        from .lookup import twohot_weights
+
+        pair = jnp.stack([k13a, k22a], axis=1)  # (n_bins, 2)
 
     def heq_at(eqt):
         eqtdef = (eqt - ti.t1) / (ti.t2 - ti.t1)
-        k22_i = k22a[ti.idx] + (k22a[ti.idx + 1] - k22a[ti.idx]) * eqtdef
-        k13_i = k13a[ti.idx] + (k13a[ti.idx + 1] - k13a[ti.idx]) * eqtdef
+        if fused:
+            w = twohot_weights(ti.idx, eqtdef, pair.shape[0], pair.dtype)
+            vals = jax.lax.dot_general(
+                w, pair, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=pair.dtype,
+            )
+            k13_i, k22_i = vals[:, 0], vals[:, 1]
+        else:
+            k22_i = k22a[ti.idx] \
+                + (k22a[ti.idx + 1] - k22a[ti.idx]) * eqtdef
+            k13_i = k13a[ti.idx] \
+                + (k13a[ti.idx + 1] - k13a[ti.idx]) * eqtdef
         return (-1.0 / (4.0 * k22_i)) * (
             k13_i - jnp.sqrt(8.0 * k13_i * k22_i * fh * d + k13_i**2)
         )

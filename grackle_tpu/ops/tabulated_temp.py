@@ -19,7 +19,7 @@ TI_MAX = 20
 
 def tabulated_temperature(
     cloudy, d, metal, e, rhoH, dom, zr, temstart, gamma, utem,
-    imetal: bool,
+    imetal: bool, use_fused: bool = False,
 ):
     """Iterate T <-> mu(T) against the Cloudy MMW table.
 
@@ -30,9 +30,24 @@ def tabulated_temperature(
     log_n_h = jnp.log10(rhoH * dom)
 
     rank = cloudy.grid_rank
+    zi0 = end_int = None
     if rank == 3:
         d2 = cloudy.grid_dimension[1]
         zi0, end_int = interp.redshift_index(zr, cloudy.par2, d2)
+
+    if use_fused:
+        # contract the non-T axes once (loop-invariant); the fixed-point
+        # iteration then only does row-wise T interpolation
+        par_t = [cloudy.par1, cloudy.par2, cloudy.par3][rank - 1]
+        mu_rows = interp.temperature_rows(
+            cloudy, cloudy.mmw, log_n_h, zr, zi0, end_int, e.dtype
+        )
+
+        def mu_interp(log10tem):
+            return interp.rows_at_temperature(mu_rows, par_t, log10tem)
+
+        return _fixed_point(mu_interp, cloudy, d, metal, e, temstart,
+                            gamma, utem, imetal)
 
     def mu_interp(log10tem):
         if rank == 1:
@@ -49,6 +64,13 @@ def tabulated_temperature(
             )
         raise ValueError("Maximum mmw data grid rank is 3!")
 
+    return _fixed_point(mu_interp, cloudy, d, metal, e, temstart, gamma,
+                        utem, imetal)
+
+
+def _fixed_point(mu_interp, cloudy, d, metal, e, temstart, gamma, utem,
+                 imetal):
+    inv_log10 = 1.0 / jnp.log(10.0)
     munew0 = jnp.ones_like(e)
     tgas0 = jnp.zeros_like(e)
     done0 = jnp.zeros(e.shape, dtype=bool)

@@ -55,6 +55,26 @@ _ARRAY_FIELDS = [
     "gas_grain", "regr",
 ]
 
+# Column order of the stacked lookup matrix. Every 1-D log-T table the
+# solver interpolates per subcycle, plus the 14 k13dd coefficients, lives
+# in one (n_bins, K) matrix so the whole lookup round is a single two-hot
+# matmul on the MXU (see ops/lookup.py).
+STACKED_COLUMNS = tuple(
+    ["k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10",
+     "k11", "k12", "k13", "k14", "k15", "k16", "k17", "k18", "k19",
+     "k22", "k50", "k51", "k52", "k53", "k54", "k55", "k56", "k57",
+     "k58", "n_cr_n", "n_cr_d1", "n_cr_d2",
+     "ceHI", "ceHeI", "ceHeII", "ciHeIS", "ciHI", "ciHeI", "ciHeII",
+     "reHII", "reHeII1", "reHeII2", "reHeIII", "brem",
+     "vibh", "hyd01k", "h2k01", "rotl", "roth",
+     "GP99LowDensityLimit", "GP99HighDensityLimit",
+     "GAHI", "GAH2", "GAHe", "GAHp", "GAel", "H2LTE",
+     "HDlte", "HDlow", "cieco", "gas_grain", "regr"]
+    + [f"k13dd_{i}" for i in range(14)]
+)
+
+STACKED_INDEX = {name: i for i, name in enumerate(STACKED_COLUMNS)}
+
 _SCALAR_FIELDS = [
     "comp", "gammah", "gamma_isrf",
     # constant photo-rates (set by the LW background or left zero; the
@@ -68,7 +88,7 @@ _SCALAR_FIELDS = [
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=_ARRAY_FIELDS + _SCALAR_FIELDS,
+    data_fields=_ARRAY_FIELDS + _SCALAR_FIELDS + ["stacked"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +97,7 @@ class RateTables:
     grackle: src/clib/grackle_chemistry_data.h:246-404)."""
 
     # populated dynamically; see _ARRAY_FIELDS/_SCALAR_FIELDS
+    stacked: Any = None  # (n_bins, K) matrix, columns = STACKED_COLUMNS
     k1: Any = None
     k2: Any = None
     k3: Any = None
@@ -253,4 +274,15 @@ def build_rate_tables(cfg, units, dtype=jnp.float64) -> RateTables:
         out[name] = jnp.asarray(vals[name], dtype=dtype)
     for name in _SCALAR_FIELDS:
         out[name] = jnp.asarray(vals[name], dtype=dtype)
+
+    # stacked (n_bins, K) lookup matrix for the fused two-hot matmul path
+    cols = []
+    for name in STACKED_COLUMNS:
+        if name.startswith("k13dd_"):
+            cols.append(vals["k13dd"][:, int(name.split("_")[1])])
+        else:
+            cols.append(vals[name])
+    out["stacked"] = jnp.asarray(
+        np.stack(cols, axis=1), dtype=dtype
+    )
     return RateTables(**out)
