@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..constants import kboltz, mass_h, tiny
 from .common import dtype_tiny8
 from .lookup import (TableIndex, TableLookup, h2dust_lookup,
-                     lookup, table_index)
+                     h2dust_lookup_fused, lookup, table_index)
 
 _K_NAMES_6 = ["k1", "k2", "k3", "k4", "k5", "k6", "k57", "k58"]
 _K_NAMES_9 = ["k7", "k8", "k9", "k10", "k11", "k12", "k13", "k14", "k15",
@@ -133,7 +133,10 @@ def lookup_cool_rates(
             jnp.log(tdust), cfg.NumberOfDustTemperatureBins,
             cfg.DustTemperatureStart, cfg.DustTemperatureEnd,
         )
-        h2dust = h2dust_lookup(tables.h2dust, ti, d_ti, fused)
+        if fused:
+            h2dust = h2dust_lookup_fused(lk, tables.h2dust_v, d_ti)
+        else:
+            h2dust = h2dust_lookup(tables.h2dust, ti, d_ti, fused)
         h2dust = h2dust * dust2gas
         # dust melts above the table end (solve_rate_cool_g.F:1337-1340)
         h2dust = jnp.where(tdust > cfg.DustTemperatureEnd, tiny8, h2dust)

@@ -142,9 +142,18 @@ def interpolate_3dz(x1, zr, x3, par1, par2, par3, data, zi0, end_int):
 
 def _uniform_frac(x, par, dim):
     """Clamped bracket index + unclamped linear fraction (extrapolating
-    beyond the grid edges like interpolators_g.F:29-37)."""
-    i = _uniform_index(x, par, dim)
-    frac = (x - par[i]) / (par[i + 1] - par[i])
+    beyond the grid edges like interpolators_g.F:29-37).
+
+    Grid values are reconstructed arithmetically (par[0] + i*dpar) instead
+    of gathered: the reference's own index math already assumes uniform
+    spacing (interpolators_g.F:29-30), and per-cell gathers from the
+    parameter vectors are pathologically slow inside TPU loops."""
+    dpar = (par[dim - 1] - par[0]) / (dim - 1)
+    i = jnp.clip(
+        jnp.floor((x - par[0]) / dpar).astype(jnp.int32), 0, dim - 2
+    )
+    x0 = par[0] + i.astype(x.dtype) * dpar
+    frac = (x - x0) / dpar
     return i, frac
 
 
@@ -157,17 +166,26 @@ def _twohot(idx, frac, dim, dtype):
 def collapse_redshift(data, par2, zr, zi0, end_int):
     """Collapse the (D1, D2, D3) cube's redshift axis at scalar zr using
     the log(1+z) rule (interpolators_g.F:252-257), honoring the
-    past-the-end 2-D fallback.  Returns (D1, D3)."""
+    past-the-end 2-D fallback.  Returns (D1, D3).
+
+    Implemented as a static einsum with a scalar-built weight vector (no
+    dynamic take/slice — those are slow inside TPU loops even for tiny
+    operands)."""
     d2 = data.shape[1]
     zi = jnp.clip(zi0, 0, d2 - 2)
-    lo = jnp.take(data, zi, axis=1)
-    hi = jnp.take(data, zi + 1, axis=1)
-    wz = jnp.log((1.0 + zr) / (1.0 + par2[zi])) / jnp.log(
-        (1.0 + par2[zi + 1]) / (1.0 + par2[zi])
+    iota = jax.lax.iota(jnp.int32, d2)
+    onehot_lo = (iota == zi).astype(data.dtype)
+    onehot_hi = (iota == zi + 1).astype(data.dtype)
+    p_lo = jnp.sum(onehot_lo * par2)
+    p_hi = jnp.sum(onehot_hi * par2)
+    wz = jnp.log((1.0 + zr) / (1.0 + p_lo)) / jnp.log(
+        (1.0 + p_hi) / (1.0 + p_lo)
     )
-    full = lo + wz * (hi - lo)
-    last = jnp.take(data, jnp.clip(zi0, 0, d2 - 1), axis=1)
-    return jnp.where(end_int, last, full)
+    w_full = onehot_lo * (1.0 - wz) + onehot_hi * wz
+    w_last = (iota == d2 - 1).astype(data.dtype)
+    w = jnp.where(end_int, w_last, w_full)
+    return jnp.einsum("abc,b->ac", data, w,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def temperature_rows(cloudy, data, log_n_h, zr, zi0, end_int, dtype):
@@ -200,21 +218,27 @@ def rows_at_temperature(rows, par_t, x_t):
     return jnp.sum(rows * w_t, axis=1)
 
 
+def scalar_twohot_vec(x_scalar, par, dim, dtype):
+    """(dim,) interpolation vector for one scalar abscissa, built with
+    iota comparisons (no dynamic slicing — safe inside device loops)."""
+    dpar = (par[dim - 1] - par[0]) / (dim - 1)
+    i = jnp.clip(
+        jnp.floor((x_scalar - par[0]) / dpar).astype(jnp.int32),
+        0, dim - 2,
+    )
+    x0 = par[0] + i.astype(dtype) * dpar
+    frac = (x_scalar - x0) / dpar
+    iota = jax.lax.iota(jnp.int32, dim)
+    return ((iota == i).astype(dtype) * (1.0 - frac)
+            + (iota == i + 1).astype(dtype) * frac)
+
+
 def rows_at_scalar_temperature(rows, par_t, x_scalar):
     """Row interpolation at one scalar temperature (e.g. T_CMB): a matvec
     with a two-element interpolation vector."""
     d_t = rows.shape[1]
-    i = jnp.clip(
-        jnp.floor(
-            (x_scalar - par_t[0])
-            / ((par_t[d_t - 1] - par_t[0]) / (d_t - 1))
-        ).astype(jnp.int32),
-        0, d_t - 2,
-    )
-    frac = (x_scalar - par_t[i]) / (par_t[i + 1] - par_t[i])
-    lo = jax.lax.dynamic_slice_in_dim(rows, i, 1, axis=1)[:, 0]
-    hi = jax.lax.dynamic_slice_in_dim(rows, i + 1, 1, axis=1)[:, 0]
-    return lo + frac * (hi - lo)
+    w = scalar_twohot_vec(x_scalar, par_t, d_t, rows.dtype)
+    return rows @ w
 
 
 def interpolate_4d(x1, x2, x3, x4, par1, par2, par3, par4, data):

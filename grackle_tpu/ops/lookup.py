@@ -133,35 +133,42 @@ class TableLookup:
     def k13dd_matrix(self):
         """(N, 14) density-dependent k13 coefficients."""
         if self._fused:
-            from ..rates.tables import STACKED_INDEX
-
-            i0 = STACKED_INDEX["k13dd_0"]
+            i0 = self._index["k13dd_0"]
             return self._vals[:, i0:i0 + 14]
         lo = self._tables.k13dd[self._ti.idx, :]
         hi = self._tables.k13dd[self._ti.idx + 1, :]
         return lo + (hi - lo) * self._ti.tdef[:, None]
 
+    def h2dust_u(self):
+        """(N, H2DUST_RANK) interpolated log-SVD gas-T factors (fused
+        path only)."""
+        from ..rates.tables import H2DUST_RANK
+
+        i0 = self._index["h2dust_u0"]
+        return self._vals[:, i0:i0 + H2DUST_RANK]
+
+
+def h2dust_lookup_fused(lk: "TableLookup", h2dust_v, d_ti: TableIndex):
+    """Factored h2dust evaluation for the fused path:
+    10**sum_r u_r(T) v_r(T_dust), where u/v are the rank-16 log-space SVD
+    factors of the 2-D table (relative reconstruction error ~2e-9).  Only
+    1-D lookups — no per-subcycle (n_T x n_Td) contraction."""
+    u = lk.h2dust_u()  # (N, r), interpolated at the gas-T index
+    n_td = h2dust_v.shape[0]
+    w_d = twohot_weights(d_ti.idx, d_ti.tdef, n_td, h2dust_v.dtype)
+    v = jax.lax.dot_general(
+        w_d, h2dust_v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=h2dust_v.dtype,
+    )  # (N, r)
+    return 10.0 ** jnp.sum(u * v, axis=1)
+
 
 def h2dust_lookup(h2dust_table, ti: TableIndex, d_ti: TableIndex,
                   use_fused: bool):
     """Bilinear (T_gas, T_dust) interpolation of the 2-D h2dust table
-    (solve_rate_cool_g.F:1327-1378).
-
-    Fused path: two-hot over the T axis contracts the (n_T, n_Td) table to
-    per-cell rows (MXU), then a row-wise two-hot contraction over T_dust.
-    """
-    if use_fused:
-        n_t, n_td = h2dust_table.shape
-        w_t = twohot_weights(ti.idx, ti.tdef, n_t, h2dust_table.dtype)
-        rows = jax.lax.dot_general(
-            w_t, h2dust_table,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=h2dust_table.dtype,
-        )  # (N, n_td)
-        w_d = twohot_weights(d_ti.idx, d_ti.tdef, n_td,
-                             h2dust_table.dtype)
-        return jnp.sum(rows * w_d, axis=1)
+    (solve_rate_cool_g.F:1327-1378); exact gather path."""
     t00 = h2dust_table[ti.idx, d_ti.idx]
     t10 = h2dust_table[ti.idx + 1, d_ti.idx]
     t01 = h2dust_table[ti.idx, d_ti.idx + 1]

@@ -59,6 +59,10 @@ _ARRAY_FIELDS = [
 # solver interpolates per subcycle, plus the 14 k13dd coefficients, lives
 # in one (n_bins, K) matrix so the whole lookup round is a single two-hot
 # matmul on the MXU (see ops/lookup.py).
+# rank of the log-space SVD factorization of the 2-D h2dust table used by
+# the fused lookup path (max relative reconstruction error ~2e-9 at 16)
+H2DUST_RANK = 16
+
 STACKED_COLUMNS = tuple(
     ["k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10",
      "k11", "k12", "k13", "k14", "k15", "k16", "k17", "k18", "k19",
@@ -71,6 +75,7 @@ STACKED_COLUMNS = tuple(
      "GAHI", "GAH2", "GAHe", "GAHp", "GAel", "H2LTE",
      "HDlte", "HDlow", "cieco", "gas_grain", "regr"]
     + [f"k13dd_{i}" for i in range(14)]
+    + [f"h2dust_u{i}" for i in range(H2DUST_RANK)]
 )
 
 STACKED_INDEX = {name: i for i, name in enumerate(STACKED_COLUMNS)}
@@ -88,7 +93,7 @@ _SCALAR_FIELDS = [
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=_ARRAY_FIELDS + _SCALAR_FIELDS + ["stacked"],
+    data_fields=_ARRAY_FIELDS + _SCALAR_FIELDS + ["stacked", "h2dust_v"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +103,7 @@ class RateTables:
 
     # populated dynamically; see _ARRAY_FIELDS/_SCALAR_FIELDS
     stacked: Any = None  # (n_bins, K) matrix, columns = STACKED_COLUMNS
+    h2dust_v: Any = None  # (n_dust_bins, H2DUST_RANK) log-SVD factor
     k1: Any = None
     k2: Any = None
     k3: Any = None
@@ -274,6 +280,18 @@ def build_rate_tables(cfg, units, dtype=jnp.float64) -> RateTables:
         out[name] = jnp.asarray(vals[name], dtype=dtype)
     for name in _SCALAR_FIELDS:
         out[name] = jnp.asarray(vals[name], dtype=dtype)
+
+    # Log-space SVD factorization of the 2-D h2dust table: the fused path
+    # evaluates h2dust as 10**sum_r u_r(T) v_r(T_dust) — a handful of 1-D
+    # lookups instead of a (n_bins x n_dust_bins) contraction per subcycle.
+    logH = np.log10(np.maximum(vals["h2dust"], 1e-300))
+    U, sv, Vt = np.linalg.svd(logH, full_matrices=False)
+    r = H2DUST_RANK
+    h2dust_u = U[:, :r] * sv[:r]
+    h2dust_v = Vt[:r].T
+    for i in range(r):
+        vals[f"h2dust_u{i}"] = h2dust_u[:, i]
+    out["h2dust_v"] = jnp.asarray(h2dust_v, dtype=dtype)
 
     # stacked (n_bins, K) lookup matrix for the fused two-hot matmul path
     cols = []
