@@ -39,16 +39,19 @@ def _run_solve(n, repeats=3):
     }
     dt = jnp.float64(DT)
 
-    # warmup + compile
+    import numpy as np
+
+    # warmup + compile; force completion via host transfer
+    # (block_until_ready can under-block through the remote TPU tunnel)
     new_f, diag = cd.solve_chemistry(fields, float(dt))
-    jax.block_until_ready(new_f["HI"])
+    float(np.asarray(new_f["HI"]).sum())
     n_iter = int(diag["n_iterations"])
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         new_f, diag = cd.solve_chemistry(fields, float(dt))
-        jax.block_until_ready(new_f["HI"])
+        float(np.asarray(new_f["HI"]).sum())
         best = min(best, time.perf_counter() - t0)
     return n / best, n_iter, best
 

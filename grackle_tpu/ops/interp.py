@@ -22,6 +22,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import os
+
+# Matmul precision for the fused lookup path. HIGHEST (6-pass bf16
+# synthesis) reproduces f32 interpolation near-exactly; HIGH (3-pass)
+# trades ~1e-6 relative interpolation error for ~2x matmul throughput.
+_LOOKUP_PRECISION = getattr(
+    __import__("jax").lax.Precision,
+    os.environ.get("GRACKLE_TPU_LOOKUP_PRECISION", "HIGH"),
+)
+
 
 def _uniform_index(x, par, dim):
     """1-based reference index -> 0-based: clip(floor((x-x0)/dx), 0, dim-2).
@@ -204,7 +214,7 @@ def temperature_rows(cloudy, data, log_n_h, zr, zi0, end_int, dtype):
     return jax.lax.dot_general(
         w1, data,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_LOOKUP_PRECISION,
         preferred_element_type=dtype,
     )
 

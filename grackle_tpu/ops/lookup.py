@@ -15,6 +15,16 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+import os
+
+# Matmul precision for the fused lookup path. HIGHEST (6-pass bf16
+# synthesis) reproduces f32 interpolation near-exactly; HIGH (3-pass)
+# trades ~1e-6 relative interpolation error for ~2x matmul throughput.
+_LOOKUP_PRECISION = getattr(
+    __import__("jax").lax.Precision,
+    os.environ.get("GRACKLE_TPU_LOOKUP_PRECISION", "HIGH"),
+)
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -99,7 +109,7 @@ def lookup_all(stacked, ti: TableIndex):
     return jax.lax.dot_general(
         w, stacked,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_LOOKUP_PRECISION,
         preferred_element_type=stacked.dtype,
     )
 
@@ -159,7 +169,7 @@ def h2dust_lookup_fused(lk: "TableLookup", h2dust_v, d_ti: TableIndex):
     v = jax.lax.dot_general(
         w_d, h2dust_v,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_LOOKUP_PRECISION,
         preferred_element_type=h2dust_v.dtype,
     )  # (N, r)
     return 10.0 ** jnp.sum(u * v, axis=1)
