@@ -45,7 +45,7 @@ if __name__ == "__main__":
 
     density = 0.1          # g/cm^3 in code units (0.1 H/cc)
     temperature = 1.0e6    # K
-    final_time = 100.0     # Myr
+    final_time = float(os.environ.get("FINAL_TIME", 100.0))  # Myr
 
     fc = setup_fluid_container(
         my_chemistry,
