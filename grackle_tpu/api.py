@@ -280,6 +280,16 @@ def solve_chemistry(ctx: GrackleContext, fields, dt,
         bool(ctx.units.comoving_coordinates),
     )
     diagnostics = {"n_iterations": n_iter, "converged": converged}
+    if cfg.exit_after_iterations_exceeded:
+        # analogue of the reference's hard failure when the subcycle cap
+        # is hit (solve_rate_cool_g.F:823-843 honoring exititmax); forces
+        # a sync, so it is only checked when the flag is on.
+        if not bool(np.all(np.asarray(converged))):
+            raise RuntimeError(
+                f"solve_chemistry: iteration count exceeded "
+                f"max_iterations = {cfg.max_iterations} before all cells "
+                f"reached dt."
+            )
     return new_f, diagnostics
 
 

@@ -95,6 +95,60 @@ def _write_group(f, group, cool, heat, mmw, log_nh, zgrid, log_T):
                                                      dtype=np.float64)
 
 
+def make_synthetic_old_style_file(path, rank=4):
+    """Write a legacy ('old_style') metal-cooling file with a rank-4
+    (n_H, logZ, e_frac, T) or rank-5 (+z) Metals table
+    (grackle: src/clib/cool1d_cloudy_old_tables_g.F,
+    initialize_cloudy_data.c:92-96)."""
+    import h5py
+
+    log_nh = np.linspace(-6.0, 4.0, 11)
+    log_z = np.linspace(-4.0, 0.5, 7)
+    e_frac = np.linspace(-6.0, 0.0, 5)  # log10 electron fraction
+    zgrid = np.linspace(0.0, 8.0, 5)
+    log_T = np.linspace(1.0, 9.0, 81)
+    T = 10.0**log_T
+
+    # amplitude exaggerated so tests see a clear metallicity response
+    lam = 2.0e-21 * np.exp(-0.5 * ((np.log10(T) - 5.3) / 0.8) ** 2) \
+        + 1.0e-24
+    # old-style tables carry metallicity as a table axis (no external
+    # scaling), so the synthetic cooling must grow with log_Z
+    zscale = 10.0 ** log_z
+    if rank == 4:
+        dims = (len(log_nh), len(log_z), len(e_frac), len(log_T))
+        cool = (lam[None, None, None, :]
+                * zscale[None, :, None, None]
+                + 1.0e-27) * np.ones(dims)
+        heat = np.broadcast_to(1e-27 * np.exp(-T / 3e4) + 1e-32,
+                               dims).copy()
+        pars = [("Parameter1", log_nh), ("Parameter2", log_z),
+                ("Parameter3", e_frac)]
+    else:
+        dims = (len(log_nh), len(log_z), len(e_frac), len(zgrid),
+                len(log_T))
+        cool = (lam[None, None, None, None, :]
+                * zscale[None, :, None, None, None]
+                + 1.0e-27) * np.ones(dims)
+        heat = np.broadcast_to(1e-27 * np.exp(-T / 3e4) + 1e-32,
+                               dims).copy()
+        pars = [("Parameter1", log_nh), ("Parameter2", log_z),
+                ("Parameter3", e_frac), ("Parameter4", zgrid)]
+
+    with h5py.File(path, "w") as f:
+        f.attrs["old_style"] = np.int64(1)
+        grp = f.create_group("CoolingRates/Metals")
+        for name, data in [("Cooling", cool), ("Heating", heat)]:
+            ds = grp.create_dataset(name, data=data)
+            ds.attrs["Rank"] = np.int64(rank)
+            ds.attrs["Dimension"] = np.array(dims, dtype=np.int64)
+            for pname, pvals in pars:
+                ds.attrs[pname] = np.asarray(pvals, dtype=np.float64)
+            ds.attrs["Temperature"] = 10.0 ** np.asarray(
+                log_T, dtype=np.float64)
+    return path
+
+
 def make_synthetic_data_file(
     path,
     n_density=25,
