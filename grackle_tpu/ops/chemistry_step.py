@@ -109,7 +109,7 @@ def lookup_cool_rates(
     )
 
     fused = cfg.use_fused_lookup == 1
-    lk = TableLookup(tables, ti, fused)
+    lk = TableLookup(tables, ti, fused, table_set="chem")
 
     k = {}
     for name in _K_NAMES_6:

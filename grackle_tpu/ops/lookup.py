@@ -117,19 +117,25 @@ def lookup_all(stacked, ti: TableIndex):
 class TableLookup:
     """Unified per-iteration table access.
 
-    ``use_fused=True``: one two-hot matmul against tables.stacked serves
-    every name (column-sliced on access).  ``use_fused=False``: classic
-    per-table gather + lerp (fast on CPU).
+    ``use_fused=True``: one two-hot matmul against the stacked matrix for
+    this table set ('cool' or 'chem') serves every name (column-sliced on
+    access).  ``use_fused=False``: classic per-table gather + lerp (fast
+    on CPU).
     """
 
-    def __init__(self, tables, ti: TableIndex, use_fused: bool):
-        from ..rates.tables import STACKED_INDEX
-
+    def __init__(self, tables, ti: TableIndex, use_fused: bool,
+                 table_set: str = "cool"):
         self._tables = tables
         self._ti = ti
         self._fused = use_fused
-        self._index = STACKED_INDEX
-        self._vals = lookup_all(tables.stacked, ti) if use_fused else None
+        if table_set == "cool":
+            names = tables.cool_cols
+            stacked = tables.stacked_cool
+        else:
+            names = tables.chem_cols
+            stacked = tables.stacked_chem
+        self._index = {name: i for i, name in enumerate(names)}
+        self._vals = lookup_all(stacked, ti) if use_fused else None
 
     def __getitem__(self, name: str):
         if self._fused:

@@ -55,30 +55,85 @@ _ARRAY_FIELDS = [
     "gas_grain", "regr",
 ]
 
-# Column order of the stacked lookup matrix. Every 1-D log-T table the
-# solver interpolates per subcycle, plus the 14 k13dd coefficients, lives
-# in one (n_bins, K) matrix so the whole lookup round is a single two-hot
-# matmul on the MXU (see ops/lookup.py).
 # rank of the log-space SVD factorization of the 2-D h2dust table used by
 # the fused lookup path (max relative reconstruction error ~2e-9 at 16)
 H2DUST_RANK = 16
 
-STACKED_COLUMNS = tuple(
-    ["k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10",
-     "k11", "k12", "k13", "k14", "k15", "k16", "k17", "k18", "k19",
-     "k22", "k50", "k51", "k52", "k53", "k54", "k55", "k56", "k57",
-     "k58", "n_cr_n", "n_cr_d1", "n_cr_d2",
-     "ceHI", "ceHeI", "ceHeII", "ciHeIS", "ciHI", "ciHeI", "ciHeII",
+# Column layout of the stacked lookup matrices. The solver does two
+# lookup rounds per subcycle at different temperature indices — the
+# cooling tables at the half-step log-T (cool1d_multi_g.F:353) and the
+# chemistry rates at the full-step log-T (solve_rate_cool_g.F:1211) — so
+# the tables are stacked into two separate matrices and each lookup round
+# (one two-hot matmul on the MXU, see ops/lookup.py) only pays for its
+# own columns.
+COOL_COLUMNS = tuple(
+    ["ceHI", "ceHeI", "ceHeII", "ciHeIS", "ciHI", "ciHeI", "ciHeII",
      "reHII", "reHeII1", "reHeII2", "reHeIII", "brem",
      "vibh", "hyd01k", "h2k01", "rotl", "roth",
      "GP99LowDensityLimit", "GP99HighDensityLimit",
      "GAHI", "GAH2", "GAHe", "GAHp", "GAel", "H2LTE",
      "HDlte", "HDlow", "cieco", "gas_grain", "regr"]
+)
+
+CHEM_COLUMNS = tuple(
+    ["k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10",
+     "k11", "k12", "k13", "k14", "k15", "k16", "k17", "k18", "k19",
+     "k22", "k50", "k51", "k52", "k53", "k54", "k55", "k56", "k57",
+     "k58", "n_cr_n", "n_cr_d1", "n_cr_d2"]
     + [f"k13dd_{i}" for i in range(14)]
     + [f"h2dust_u{i}" for i in range(H2DUST_RANK)]
 )
 
-STACKED_INDEX = {name: i for i, name in enumerate(STACKED_COLUMNS)}
+COOL_INDEX = {name: i for i, name in enumerate(COOL_COLUMNS)}
+CHEM_INDEX = {name: i for i, name in enumerate(CHEM_COLUMNS)}
+
+
+def active_cool_columns(cfg):
+    """Cooling-table columns actually read by cool1d_multi for this
+    config — the stacked matrix carries only these, so the per-subcycle
+    lookup matmul scales with the enabled physics."""
+    cols = []
+    if cfg.primordial_chemistry > 0:
+        cols += ["ceHI", "ceHeI", "ceHeII", "ciHeIS", "ciHI", "ciHeI",
+                 "ciHeII", "reHII", "reHeII1", "reHeII2", "reHeIII",
+                 "brem"]
+    if cfg.primordial_chemistry > 1:
+        variant = cfg.h2_cooling_variant
+        if variant == 0:
+            cols += ["GAHI", "GAH2", "GAHe", "GAHp", "GAel", "H2LTE"]
+        elif variant == 1:
+            cols += ["GP99LowDensityLimit", "GP99HighDensityLimit"]
+        else:
+            cols += ["hyd01k", "h2k01", "vibh", "roth", "rotl"]
+        if cfg.cie_cooling == 1:
+            cols += ["cieco"]
+    if cfg.primordial_chemistry > 2:
+        cols += ["HDlte", "HDlow"]
+    anydust = (cfg.h2_on_dust > 0) or (cfg.dust_chemistry > 0) or (
+        cfg.dust_recombination_cooling > 0)
+    if anydust:
+        cols += ["gas_grain"]
+    if (cfg.dust_chemistry > 0) or (cfg.dust_recombination_cooling > 0):
+        cols += ["regr"]
+    return tuple(cols)
+
+
+def active_chem_columns(cfg):
+    """Chemistry-rate columns read by lookup_cool_rates for this config."""
+    cols = []
+    if cfg.primordial_chemistry > 0:
+        cols += ["k1", "k2", "k3", "k4", "k5", "k6", "k57", "k58"]
+    if cfg.primordial_chemistry > 1:
+        cols += ["k7", "k8", "k9", "k10", "k11", "k12", "k13", "k14",
+                 "k15", "k16", "k17", "k18", "k19", "k22",
+                 "n_cr_n", "n_cr_d1", "n_cr_d2"]
+        if cfg.three_body_rate == 0:
+            cols += [f"k13dd_{i}" for i in range(14)]
+    if cfg.primordial_chemistry > 2:
+        cols += ["k50", "k51", "k52", "k53", "k54", "k55", "k56"]
+    if (cfg.h2_on_dust > 0) or (cfg.dust_chemistry > 0):
+        cols += [f"h2dust_u{i}" for i in range(H2DUST_RANK)]
+    return tuple(cols)
 
 _SCALAR_FIELDS = [
     "comp", "gammah", "gamma_isrf",
@@ -93,8 +148,9 @@ _SCALAR_FIELDS = [
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=_ARRAY_FIELDS + _SCALAR_FIELDS + ["stacked", "h2dust_v"],
-    meta_fields=[],
+    data_fields=(_ARRAY_FIELDS + _SCALAR_FIELDS
+                 + ["stacked_cool", "stacked_chem", "h2dust_v"]),
+    meta_fields=["cool_cols", "chem_cols"],
 )
 @dataclasses.dataclass(frozen=True)
 class RateTables:
@@ -102,8 +158,11 @@ class RateTables:
     grackle: src/clib/grackle_chemistry_data.h:246-404)."""
 
     # populated dynamically; see _ARRAY_FIELDS/_SCALAR_FIELDS
-    stacked: Any = None  # (n_bins, K) matrix, columns = STACKED_COLUMNS
+    stacked_cool: Any = None  # (n_bins, K) matrix, cols = cool_cols
+    stacked_chem: Any = None  # (n_bins, K) matrix, cols = chem_cols
     h2dust_v: Any = None  # (n_dust_bins, H2DUST_RANK) log-SVD factor
+    cool_cols: Any = ()  # active cooling column names (static)
+    chem_cols: Any = ()  # active chemistry column names (static)
     k1: Any = None
     k2: Any = None
     k3: Any = None
@@ -293,14 +352,25 @@ def build_rate_tables(cfg, units, dtype=jnp.float64) -> RateTables:
         vals[f"h2dust_u{i}"] = h2dust_u[:, i]
     out["h2dust_v"] = jnp.asarray(h2dust_v, dtype=dtype)
 
-    # stacked (n_bins, K) lookup matrix for the fused two-hot matmul path
-    cols = []
-    for name in STACKED_COLUMNS:
-        if name.startswith("k13dd_"):
-            cols.append(vals["k13dd"][:, int(name.split("_")[1])])
-        else:
-            cols.append(vals[name])
-    out["stacked"] = jnp.asarray(
-        np.stack(cols, axis=1), dtype=dtype
-    )
+    # stacked (n_bins, K) lookup matrices for the fused two-hot path;
+    # only the columns this config's physics actually reads
+    def _stack(names):
+        cols = []
+        for name in names:
+            if name.startswith("k13dd_"):
+                cols.append(vals["k13dd"][:, int(name.split("_")[1])])
+            elif name.startswith("h2dust_u"):
+                cols.append(vals[name])
+            else:
+                cols.append(vals[name])
+        if not cols:
+            return jnp.zeros((n, 1), dtype=dtype)
+        return jnp.asarray(np.stack(cols, axis=1), dtype=dtype)
+
+    cool_cols = active_cool_columns(cfg)
+    chem_cols = active_chem_columns(cfg)
+    out["stacked_cool"] = _stack(cool_cols)
+    out["stacked_chem"] = _stack(chem_cols)
+    out["cool_cols"] = cool_cols
+    out["chem_cols"] = chem_cols
     return RateTables(**out)
