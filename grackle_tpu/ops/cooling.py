@@ -141,6 +141,7 @@ def cool1d_multi(
     first_iter,
     imetal: bool,
     cloudy_data_new: bool = True,
+    tdust_prev=None,
 ) -> CoolResult:
     """Compute edot and the thermodynamic state for every cell.
 
@@ -315,6 +316,7 @@ def cool1d_multi(
         tdust = calc_tdust_1d(
             tgas, mynh, gasgr_tdust, tables.gamma_isrf, myisrf,
             jnp.ones(d.shape, dtype=bool), us.comp2,
+            tdust_init=tdust_prev,
         )
         edot = edot - gasgr * (tgas - tdust) * dust2gas * rhoH * rhoH
 

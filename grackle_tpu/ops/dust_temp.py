@@ -51,7 +51,8 @@ def calc_gr_balance(tdust, tgas, kgr, trad4, gasgr, gamma_isrf, nh):
     )
 
 
-def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad):
+def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
+                  tdust_init=None):
     """Solve for the equilibrium dust temperature of every cell.
 
     Args:
@@ -62,6 +63,11 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad):
       isrf: per-cell ISRF in Habing units.
       itmask: active-cell mask.
       trad: CMB temperature (scalar, traced).
+      tdust_init: optional warm start (e.g. the previous subcycle's
+        solution).  Newton converges to the same equilibrium root
+        (tol 1e-5) from any bracketed start, so this only cuts the
+        iteration count — typically to 1-2 once the subcycle's 10%%
+        limiter keeps tgas changes small.
 
     Returns dust temperature, shape [N] (calc_tdust_1d_g.F:6-306).
     """
@@ -71,6 +77,10 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad):
 
     # Initial guess (calc_tdust_1d_g.F:105-130)
     tdust0 = jnp.maximum(trad, (gamma_isrf / RADF / KGR1) ** 0.17)
+    if tdust_init is not None:
+        # reject out-of-bracket warm starts (first call passes zeros)
+        ok = (tdust_init > trad) & (tdust_init < T_SUBL)
+        tdust0 = jnp.where(ok, tdust_init, tdust0)
     pert0 = jnp.full_like(tgas, PERT_I)
 
     sub_mask = tgas > T_SUBL  # straight to bisection

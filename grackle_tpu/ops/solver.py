@@ -187,6 +187,7 @@ def solve_rate_cool(
         fields=f,
         ttot=zeros,
         tgasold=zeros,
+        tdust=zeros,  # warm start for the dust equilibrium solve
         dedot_prev=zeros,
         HIdot_prev=zeros,
         itmask=itmask0,
@@ -208,6 +209,7 @@ def solve_rate_cool(
         cool = cool1d_multi(
             cfg, tables, cloudy_prim, cloudy_met, pr, us, f,
             carry["tgasold"], first_iter, imetal, cloudy_data_new,
+            tdust_prev=carry["tdust"],
         )
         edot = cool.edot
         dtit = jnp.full(d_shape, huge8, dtype=edot.dtype)
@@ -307,11 +309,13 @@ def solve_rate_cool(
         itmask_new = itmask & (jnp.abs(dt - ttot_new) >= tolerance * dt)
 
         tgasold_new = jnp.where(itmask, cool.tgasold, carry["tgasold"])
+        tdust_new = jnp.where(itmask, cool.tdust, carry["tdust"])
 
         return dict(
             fields=new_fields,
             ttot=ttot_new,
             tgasold=tgasold_new,
+            tdust=tdust_new,
             dedot_prev=dedot_prev,
             HIdot_prev=HIdot_prev,
             itmask=itmask_new,
