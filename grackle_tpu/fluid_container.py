@@ -145,36 +145,36 @@ class FluidContainer(dict):
             if name in self:
                 # preserve the container dtype regardless of solver
                 # precision
-                self[name] = np.asarray(val, dtype=self.dtype)
+                self[name] = np.array(val, dtype=self.dtype)
 
     def calculate_cooling_time(self):
-        self["cooling_time"] = np.asarray(
+        self["cooling_time"] = np.array(
             self.chemistry_data.calculate_cooling_time(
                 self._solver_fields()
             ), dtype=self.dtype,
         )
 
     def calculate_temperature(self):
-        self["temperature"] = np.asarray(
+        self["temperature"] = np.array(
             self.chemistry_data.calculate_temperature(
                 self._solver_fields()
             ), dtype=self.dtype,
         )
 
     def calculate_pressure(self):
-        self["pressure"] = np.asarray(
+        self["pressure"] = np.array(
             self.chemistry_data.calculate_pressure(self._solver_fields()),
             dtype=self.dtype,
         )
 
     def calculate_gamma(self):
-        self["gamma"] = np.asarray(
+        self["gamma"] = np.array(
             self.chemistry_data.calculate_gamma(self._solver_fields()),
             dtype=self.dtype,
         )
 
     def calculate_dust_temperature(self):
-        self["dust_temperature"] = np.asarray(
+        self["dust_temperature"] = np.array(
             self.chemistry_data.calculate_dust_temperature(
                 self._solver_fields()
             ), dtype=self.dtype,
