@@ -163,3 +163,16 @@ def set_cosmology_units(
         / hubble_constant
         / (1.0 + initial_redshift) ** 1.5,
     )
+
+
+def get_velocity_units(my_units) -> float:
+    """(grackle: src/clib/grackle_units.c:24-31)"""
+    v = my_units.length_units / my_units.time_units
+    if my_units.comoving_coordinates == 1:
+        v /= my_units.a_value
+    return v
+
+
+def get_temperature_units(my_units) -> float:
+    """(grackle: src/clib/grackle_units.c:38-42)"""
+    return mh * get_velocity_units(my_units) ** 2 / kboltz
