@@ -120,10 +120,19 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
         return tdust, pert, nm_mask, bi_mask, it + 1
 
     bi_mask = itmask & ~done_cold
-    tdust, _, _, bi_mask, _ = jax.lax.while_loop(
-        newton_cond, newton_body,
-        (tdust, pert0, nm_mask, bi_mask, jnp.int32(0)),
-    )
+    import os as _os
+    if _os.environ.get("GTPU_DUST_FORI"):
+        unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "4"))
+        carry = (tdust, pert0, nm_mask, bi_mask, jnp.int32(0))
+        carry = jax.lax.fori_loop(
+            0, ITMAX, lambda i, c: newton_body(c), carry,
+            unroll=unroll)
+        tdust, _, _, bi_mask, _ = carry
+    else:
+        tdust, _, _, bi_mask, _ = jax.lax.while_loop(
+            newton_cond, newton_body,
+            (tdust, pert0, nm_mask, bi_mask, jnp.int32(0)),
+        )
 
     # Bisection fallback (calc_tdust_1d_g.F:209-261): cells that never
     # converged with Newton, found a sub-CMB solution, or have
@@ -149,8 +158,14 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
         bi_mask = bi_mask & ~conv
         return t_low_new, t_high_new, bi_mask, it + 1
 
-    t_low, _, _, _ = jax.lax.while_loop(
-        bi_cond, bi_body, (t_low, t_high, bi_mask, jnp.int32(0))
-    )
+    if _os.environ.get("GTPU_DUST_FORI"):
+        unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "4"))
+        t_low, _, _, _ = jax.lax.fori_loop(
+            0, BI_ITMAX, lambda i, c: bi_body(c),
+            (t_low, t_high, bi_mask, jnp.int32(0)), unroll=unroll)
+    else:
+        t_low, _, _, _ = jax.lax.while_loop(
+            bi_cond, bi_body, (t_low, t_high, bi_mask, jnp.int32(0))
+        )
 
     return jnp.where(itmask, t_low, tdust)

@@ -66,28 +66,6 @@ H2DUST_RANK = 16
 # the tables are stacked into two separate matrices and each lookup round
 # (one two-hot matmul on the MXU, see ops/lookup.py) only pays for its
 # own columns.
-COOL_COLUMNS = tuple(
-    ["ceHI", "ceHeI", "ceHeII", "ciHeIS", "ciHI", "ciHeI", "ciHeII",
-     "reHII", "reHeII1", "reHeII2", "reHeIII", "brem",
-     "vibh", "hyd01k", "h2k01", "rotl", "roth",
-     "GP99LowDensityLimit", "GP99HighDensityLimit",
-     "GAHI", "GAH2", "GAHe", "GAHp", "GAel", "H2LTE",
-     "HDlte", "HDlow", "cieco", "gas_grain", "regr"]
-)
-
-CHEM_COLUMNS = tuple(
-    ["k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k9", "k10",
-     "k11", "k12", "k13", "k14", "k15", "k16", "k17", "k18", "k19",
-     "k22", "k50", "k51", "k52", "k53", "k54", "k55", "k56", "k57",
-     "k58", "n_cr_n", "n_cr_d1", "n_cr_d2"]
-    + [f"k13dd_{i}" for i in range(14)]
-    + [f"h2dust_u{i}" for i in range(H2DUST_RANK)]
-)
-
-COOL_INDEX = {name: i for i, name in enumerate(COOL_COLUMNS)}
-CHEM_INDEX = {name: i for i, name in enumerate(CHEM_COLUMNS)}
-
-
 def active_cool_columns(cfg):
     """Cooling-table columns actually read by cool1d_multi for this
     config — the stacked matrix carries only these, so the per-subcycle
