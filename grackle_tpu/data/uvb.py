@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import mh
 from ..ops.common import PhotoRates
 
 _UVB_RATE_NAMES = [

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import api
 from .utilities.physical_constants import mass_hydrogen_cgs
 
 _base_fluids = ["density", "metal", "dust"]

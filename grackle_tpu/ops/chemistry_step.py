@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..constants import kboltz, mass_h, tiny
 from .common import dtype_tiny8
 from .lookup import (TableIndex, TableLookup, h2dust_lookup,
-                     h2dust_lookup_fused, lookup, table_index)
+                     h2dust_lookup_fused, table_index)
 
 _K_NAMES_6 = ["k1", "k2", "k3", "k4", "k5", "k6", "k57", "k58"]
 _K_NAMES_9 = ["k7", "k8", "k9", "k10", "k11", "k12", "k13", "k14", "k15",

@@ -20,7 +20,7 @@ from ..constants import mh, tiny
 from .common import dtype_tiny8
 from . import cloudy_cool
 from .dust_temp import calc_tdust_1d
-from .lookup import TableLookup, lookup, table_index
+from .lookup import TableLookup, table_index
 from .tabulated_temp import tabulated_temperature
 
 MU_METAL = 16.0  # approx. mean molecular weight of metals

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import kboltz, mh, tevk, tiny
+from ..constants import tevk, tiny
 
 _DHUGE_LOG = np.log(1.0e30)
 
