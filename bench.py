@@ -41,17 +41,19 @@ def _run_solve(n, repeats=3):
 
     import numpy as np
 
-    # warmup + compile; force completion via host transfer
-    # (block_until_ready can under-block through the remote TPU tunnel)
+    # warmup + compile; force completion with an on-device reduction +
+    # scalar transfer (block_until_ready can under-block through the
+    # remote TPU tunnel, and a full-array transfer would bill tunnel
+    # bandwidth to the solver)
     new_f, diag = cd.solve_chemistry(fields, float(dt))
-    float(np.asarray(new_f["HI"]).sum())
+    float(jnp.sum(new_f["HI"]))
     n_iter = int(diag["n_iterations"])
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         new_f, diag = cd.solve_chemistry(fields, float(dt))
-        float(np.asarray(new_f["HI"]).sum())
+        float(jnp.sum(new_f["HI"]))
         best = min(best, time.perf_counter() - t0)
     return n / best, n_iter, best
 
