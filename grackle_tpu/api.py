@@ -167,7 +167,49 @@ def _solve_chemistry_core(
         imetal=imetal, cloudy_data_new=cloudy_data_new,
         l_h2shield_field=l_h2shield_field, comoving=comoving,
     )
-    return result.fields, result.n_iterations, result.converged
+    return (result.fields, result.n_iterations, result.converged,
+            result.cell_iterations)
+
+
+# --- converged-cell compaction -------------------------------------
+#
+# The subcycle count per cell is heavy-tailed, so the monolithic
+# while_loop makes every cell ride along until the slowest converges.
+# solve_rate_cool_compacted runs the loop batch-wise entirely inside
+# one jit (zero host syncs): see its docstring.  _compact_batch picks
+# the largest power of two <= n/16 (floored at _COMPACT_MIN_BUCKET).
+
+_COMPACT_MIN_BUCKET = 8192
+
+
+def _compact_batch(n):
+    b = _COMPACT_MIN_BUCKET
+    while b * 32 <= n:
+        b *= 2
+    return b
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "imetal", "cloudy_data_new", "comoving", "batch", "warm",
+    ),
+)
+def _solve_chemistry_core_compact(
+    cfg, tables, cloudy_prim, cloudy_met, uvb, units, fields, dt,
+    grid_dx, l_h2shield_field, imetal, cloudy_data_new, comoving,
+    batch, warm,
+):
+    us = make_unit_scalars(cfg, tables, units, grid_dx)
+    pr = _photo_rates(cfg, tables, uvb, units)
+    result = _solver.solve_rate_cool_compacted(
+        cfg, tables, cloudy_prim, cloudy_met, pr, us, fields, dt,
+        imetal=imetal, cloudy_data_new=cloudy_data_new,
+        l_h2shield_field=l_h2shield_field, comoving=comoving,
+        warm=warm, batch=batch,
+    )
+    return (result.fields, result.n_iterations, result.converged,
+            result.cell_iterations)
 
 
 @partial(
@@ -272,14 +314,26 @@ def solve_chemistry(ctx: GrackleContext, fields, dt,
     from .ops.common import solver_dtype
 
     dtype = solver_dtype(cfg)
-    new_f, n_iter, converged = _solve_chemistry_core(
-        cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
-        ctx.uvb, ctx.units, f, jnp.asarray(dt, dtype),
-        jnp.asarray(grid_dx, dtype),
-        l_h2, imetal, ctx.cloudy_data_new,
-        bool(ctx.units.comoving_coordinates),
-    )
-    diagnostics = {"n_iterations": n_iter, "converged": converged}
+    n = f["density"].shape[0] if f["density"].ndim == 1 else 0
+    comoving = bool(ctx.units.comoving_coordinates)
+    if (cfg.solver_compaction > 0
+            and n >= 4 * _COMPACT_MIN_BUCKET):
+        new_f, n_iter, converged, cell_iter = _solve_chemistry_core_compact(
+            cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
+            ctx.uvb, ctx.units, f, jnp.asarray(dt, dtype),
+            jnp.asarray(grid_dx, dtype), l_h2, imetal,
+            ctx.cloudy_data_new, comoving,
+            _compact_batch(n), int(cfg.solver_compaction),
+        )  # solver_compaction = warm-phase subcycle count
+    else:
+        new_f, n_iter, converged, cell_iter = _solve_chemistry_core(
+            cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
+            ctx.uvb, ctx.units, f, jnp.asarray(dt, dtype),
+            jnp.asarray(grid_dx, dtype),
+            l_h2, imetal, ctx.cloudy_data_new, comoving,
+        )
+    diagnostics = {"n_iterations": n_iter, "converged": converged,
+                   "cell_iterations": cell_iter}
     if cfg.exit_after_iterations_exceeded:
         # analogue of the reference's hard failure when the subcycle cap
         # is hit (solve_rate_cool_g.F:823-843 honoring exititmax); forces

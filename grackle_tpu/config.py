@@ -101,6 +101,17 @@ PARAMETER_REGISTRY: Dict[str, Tuple[type, Any]] = {
     # (cool1d_multi_g.F:470-624). 0 = Glover & Abel 2008 (the reference's
     # compiled-in default), 1 = Galli & Palla 1999, 2 = Lepp & Shull.
     "h2_cooling_variant": (int, 0),
+    # Extension: converged-cell compaction for solve_chemistry.  The
+    # subcycle iteration count is strongly heavy-tailed (median ~20,
+    # tail ~240 on log-uniform states); after `solver_compaction` warm
+    # subcycles on the full array, the still-unconverged cells are
+    # batched by predicted residual work and run to convergence in
+    # compact batches (see ops/solver.py:solve_rate_cool_compacted).
+    # Bit-identical to the monolithic loop (the update is purely
+    # per-cell).  The value is the warm-phase subcycle count; 0 disables;
+    # the driver also auto-disables below 4*8192 cells where batching
+    # overhead would dominate.
+    "solver_compaction": (int, 16),
     "max_iterations": (int, 10000),
     "exit_after_iterations_exceeded": (int, 0),
     # Analogue of omp_nthreads: number of host threads used by the async

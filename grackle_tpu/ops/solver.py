@@ -131,45 +131,19 @@ class SolveResult:
     fields: Any
     n_iterations: Any  # scalar int: subcycles taken
     converged: Any  # [N] bool: cells that reached dt within max_iterations
+    cell_iterations: Any  # [N] int32: subcycles each cell was active for
 
 
-def solve_rate_cool(
-    cfg,
-    tables,
-    cloudy_prim,
-    cloudy_met,
-    pr,
-    us,
-    f,
-    dt,
-    imetal: bool,
-    cloudy_data_new: bool = True,
-    l_h2shield_field=None,
-    comoving: bool = False,
-) -> SolveResult:
-    """Advance the chemistry network and gas energy by dt.
-
-    Mirrors solve_rate_cool_g.F:321-892: comoving scaling, species ceiling,
-    masked subcycle loop (cooling-rate eval -> rate lookup -> dt limiter ->
-    energy update -> BE Gauss-Seidel species step), rescaling, and final
-    conservation renormalization.
-    """
-    ispecies = cfg.primordial_chemistry
-    d_shape = f["density"].shape
-    dtype = f["density"].dtype
-    tiny8 = dtype_tiny8(dtype)
-    huge8 = dtype_huge8(dtype)
-    tolerance = dtype_tolerance(dtype)
-
+def prepare_fields(cfg, f, us, imetal: bool, comoving: bool):
+    """Pre-loop field conditioning: comoving scaling + species ceiling
+    (solve_rate_cool_g.F:347-355, 994-1070).  Returns the conditioned
+    fields and the initial iteration mask."""
     f = dict(f)
-
-    # comoving -> proper (solve_rate_cool_g.F:347-355)
     if comoving:
         f = scale_fields(cfg, f, us.aye**-3, imetal)
-
     f = ceiling_species(cfg, f, imetal)
 
-    itmask0 = jnp.ones(d_shape, dtype=bool)
+    itmask0 = jnp.ones(f["density"].shape, dtype=bool)
     # coupled radiative-transfer intermediate stepping masks
     # (solve_rate_cool_g.F:418-439)
     if (cfg.use_radiative_transfer == 1
@@ -179,30 +153,83 @@ def solve_rate_cool(
             itmask0 = has_rad
         else:
             itmask0 = ~has_rad
+    return f, itmask0
 
+
+def init_carry(f, itmask0, l_h2shield_field=None):
+    """Build the subcycle loop carry.  All per-cell state lives here so
+    the loop can be run in chunks and compacted between chunks (the
+    converged-cell compaction optimization; see api.solve_chemistry)."""
+    d_shape = f["density"].shape
     zeros = jnp.zeros(d_shape, dtype=f["density"].dtype)
-
-    carry0 = dict(
-        fields=f,
+    carry = dict(
+        fields=dict(f),
         ttot=zeros,
         tgasold=zeros,
         tdust=zeros,  # warm start for the dust equilibrium solve
         dedot_prev=zeros,
         HIdot_prev=zeros,
         itmask=itmask0,
-        it=jnp.int32(0),
+        cell_it=jnp.zeros(d_shape, dtype=jnp.int32),
+        # set when a cell is retired by the max_iterations cap rather
+        # than by reaching dt (solve_rate_cool_g.F:823-843)
+        capped=jnp.zeros(d_shape, dtype=bool),
+        # last subcycle dt taken; (dt - ttot) / dtit_prev predicts the
+        # residual subcycle count, used to sort cells into batches of
+        # similar remaining work (converged-cell compaction)
+        dtit_prev=zeros,
     )
+    if l_h2shield_field is not None:
+        carry["l_h2shield"] = l_h2shield_field
+    return carry
 
-    def cond(carry):
-        return (carry["it"] < cfg.max_iterations) & jnp.any(
-            carry["itmask"]
-        )
 
-    def body(carry):
+def run_subcycles(
+    cfg,
+    tables,
+    cloudy_prim,
+    cloudy_met,
+    pr,
+    us,
+    carry0,
+    dt,
+    imetal: bool,
+    cloudy_data_new: bool = True,
+    chunk: int | None = None,
+):
+    """Run up to ``chunk`` subcycle iterations (default: to the
+    max_iterations cap), retiring converged cells via the lane mask.
+    The per-cell update is purely elementwise and iteration bookkeeping
+    (first-iteration init, >50-iteration damping, the max_iterations
+    cap) uses the per-cell subcycle counter, so any subset of cells
+    advances identically to the full array -- which is what makes
+    converged-cell compaction exact.  (The reference is likewise
+    row-granular: each OpenMP row subcycles on its own counter,
+    solve_rate_cool_g.F:369-403.)
+
+    Mirrors the subcycle loop of solve_rate_cool_g.F:443-813.
+    """
+    ispecies = cfg.primordial_chemistry
+    d_shape = carry0["fields"]["density"].shape
+    dtype = carry0["fields"]["density"].dtype
+    tiny8 = dtype_tiny8(dtype)
+    huge8 = dtype_huge8(dtype)
+    tolerance = dtype_tolerance(dtype)
+    l_h2shield_field = carry0.get("l_h2shield")
+
+    if chunk is None:
+        chunk = cfg.max_iterations
+
+    def cond(state):
+        step, carry = state
+        return (step < chunk) & jnp.any(carry["itmask"])
+
+    def body(state):
+        step, carry = state
         f = carry["fields"]
         itmask = carry["itmask"]
         ttot = carry["ttot"]
-        it = carry["it"]
+        it = carry["cell_it"]
         first_iter = it == 0
 
         cool = cool1d_multi(
@@ -305,12 +332,16 @@ def solve_rate_cool(
         # advance cell clocks and retire finished cells
         # (solve_rate_cool_g.F:803-813)
         ttot_new = jnp.minimum(ttot + jnp.where(itmask, dtit, dt), dt)
-        itmask_new = itmask & (jnp.abs(dt - ttot_new) >= tolerance * dt)
+        cell_it_new = carry["cell_it"] + itmask.astype(jnp.int32)
+        unfinished = jnp.abs(dt - ttot_new) >= tolerance * dt
+        hit_cap = cell_it_new >= cfg.max_iterations
+        itmask_new = itmask & unfinished & ~hit_cap
+        capped_new = carry["capped"] | (itmask & unfinished & hit_cap)
 
         tgasold_new = jnp.where(itmask, cool.tgasold, carry["tgasold"])
         tdust_new = jnp.where(itmask, cool.tdust, carry["tdust"])
 
-        return dict(
+        new_carry = dict(
             fields=new_fields,
             ttot=ttot_new,
             tgasold=tgasold_new,
@@ -318,22 +349,179 @@ def solve_rate_cool(
             dedot_prev=dedot_prev,
             HIdot_prev=HIdot_prev,
             itmask=itmask_new,
-            it=it + 1,
+            cell_it=cell_it_new,
+            capped=capped_new,
+            dtit_prev=jnp.where(itmask, dtit, carry["dtit_prev"]),
         )
+        if l_h2shield_field is not None:
+            new_carry["l_h2shield"] = carry["l_h2shield"]
+        return step + 1, new_carry
 
-    carry = jax.lax.while_loop(cond, body, carry0)
-    f = carry["fields"]
+    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+    return carry
 
+
+def finalize_fields(cfg, f, us, imetal: bool, comoving: bool):
+    """Post-loop rescale + conservation renormalization
+    (solve_rate_cool_g.F:870-888)."""
     # proper -> comoving (solve_rate_cool_g.F:870-878)
     if comoving:
         f = scale_fields(cfg, f, us.aye**3, imetal)
-
     # conservation renormalization (solve_rate_cool_g.F:884-888)
-    if ispecies > 0:
+    if cfg.primordial_chemistry > 0:
         f = cs.make_consistent(cfg, f, imetal)
+    return f
 
+
+def solve_rate_cool(
+    cfg,
+    tables,
+    cloudy_prim,
+    cloudy_met,
+    pr,
+    us,
+    f,
+    dt,
+    imetal: bool,
+    cloudy_data_new: bool = True,
+    l_h2shield_field=None,
+    comoving: bool = False,
+) -> SolveResult:
+    """Advance the chemistry network and gas energy by dt.
+
+    Mirrors solve_rate_cool_g.F:321-892: comoving scaling, species ceiling,
+    masked subcycle loop (cooling-rate eval -> rate lookup -> dt limiter ->
+    energy update -> BE Gauss-Seidel species step), rescaling, and final
+    conservation renormalization.
+    """
+    f, itmask0 = prepare_fields(cfg, f, us, imetal, comoving)
+    carry = init_carry(f, itmask0, l_h2shield_field)
+    carry = run_subcycles(
+        cfg, tables, cloudy_prim, cloudy_met, pr, us, carry, dt,
+        imetal=imetal, cloudy_data_new=cloudy_data_new,
+    )
+    fields = finalize_fields(cfg, carry["fields"], us, imetal, comoving)
     return SolveResult(
-        fields=f,
-        n_iterations=carry["it"],
-        converged=~carry["itmask"],
+        fields=fields,
+        n_iterations=jnp.max(carry["cell_it"]),
+        converged=~carry["capped"],
+        cell_iterations=carry["cell_it"],
+    )
+
+
+def solve_rate_cool_compacted(
+    cfg,
+    tables,
+    cloudy_prim,
+    cloudy_met,
+    pr,
+    us,
+    f,
+    dt,
+    imetal: bool,
+    cloudy_data_new: bool = True,
+    l_h2shield_field=None,
+    comoving: bool = False,
+    warm: int = 16,
+    batch: int = 16384,
+) -> SolveResult:
+    """solve_rate_cool with converged-cell compaction, all inside one jit.
+
+    The per-cell subcycle count is strongly heavy-tailed (median ~20x
+    smaller than the max on log-uniform states), so the monolithic
+    while_loop makes every lane ride along until the slowest cell
+    converges.  Here the loop runs in two stages:
+
+    1. ``warm`` subcycles on the full array (retires the easy bulk and
+       establishes each survivor's subcycle step ``dtit``),
+    2. an outer while_loop, each trip gathering the ``batch``
+       still-unconverged cells with the LARGEST predicted residual work
+       (``(dt - ttot) / dtit``, selected with ``lax.top_k``) and running
+       them to convergence before scattering them back.
+
+    Sorting by predicted residual makes each batch's slowest member
+    close to its typical member, so little lane work is wasted;
+    mispredicted cells simply stay unconverged and are picked up by a
+    later trip.  Because all iteration bookkeeping is per-cell, results
+    are BIT-IDENTICAL to the monolithic loop regardless of the batch
+    composition.  Zero host synchronization (the reference's analogue
+    is OpenMP dynamic row scheduling, solve_rate_cool_g.F:369-403).
+    """
+    f, itmask0 = prepare_fields(cfg, f, us, imetal, comoving)
+    carry = init_carry(f, itmask0, l_h2shield_field)
+    dtype = f["density"].dtype
+
+    def run(c, n_steps):
+        return run_subcycles(
+            cfg, tables, cloudy_prim, cloudy_met, pr, us, c, dt,
+            imetal=imetal, cloudy_data_new=cloudy_data_new,
+            chunk=n_steps,
+        )
+
+    carry = run(carry, warm)
+
+    # Pack the whole carry into one (N, C) matrix so each outer trip is
+    # ONE row gather and ONE row scatter (per-array gathers inside a
+    # while_loop cost ~0.4 ms each on TPU; a single fat one is ~25x
+    # cheaper than 25 thin ones).  Round-trip is exact: everything is
+    # already the solver dtype, and cell_it (< max_iterations <= 1e4)
+    # is exactly representable in f32.
+    field_keys = sorted(carry["fields"].keys())
+    aux_keys = ["ttot", "tgasold", "tdust", "dedot_prev", "HIdot_prev",
+                "dtit_prev"]
+    has_l_h2 = "l_h2shield" in carry
+    ttot_col = len(field_keys)
+    dtit_col = len(field_keys) + len(aux_keys) - 1
+    mask_col = len(field_keys) + len(aux_keys) + 1  # after cell_it
+
+    def pack(c):
+        cols = [c["fields"][k] for k in field_keys]
+        cols += [c[a] for a in aux_keys]
+        cols.append(c["cell_it"].astype(dtype))
+        cols.append(c["itmask"].astype(dtype))
+        cols.append(c["capped"].astype(dtype))
+        if has_l_h2:
+            cols.append(c["l_h2shield"])
+        return jnp.stack(cols, axis=1)
+
+    def unpack(m):
+        i = len(field_keys)
+        c = dict(
+            fields={k: m[:, j] for j, k in enumerate(field_keys)},
+            **{a: m[:, i + j] for j, a in enumerate(aux_keys)},
+        )
+        i += len(aux_keys)
+        c["cell_it"] = m[:, i].astype(jnp.int32)
+        c["itmask"] = m[:, i + 1] > 0
+        c["capped"] = m[:, i + 2] > 0
+        if has_l_h2:
+            c["l_h2shield"] = m[:, i + 3]
+        return c
+
+    def outer_cond(M):
+        return jnp.any(M[:, mask_col] > 0)
+
+    def outer_body(M):
+        # Select the `batch` unconverged cells with the most predicted
+        # residual subcycles.  Selection composition never affects
+        # per-cell results, only lane utilization; converged padding
+        # rows land on masked lanes and are no-ops.  (top_k lowers to
+        # an efficient TPU sort, while jnp.nonzero's cumsum blows the
+        # scoped-VMEM stack inside a while_loop.)
+        residual = (dt - M[:, ttot_col]) / jnp.maximum(
+            M[:, dtit_col], jnp.asarray(tiny, dtype)
+        )
+        key = jnp.where(M[:, mask_col] > 0, residual, -1.0)
+        _, idx = jax.lax.top_k(key, batch)
+        sub = run(unpack(M[idx]), cfg.max_iterations)
+        return M.at[idx].set(pack(sub))
+
+    M = jax.lax.while_loop(outer_cond, outer_body, pack(carry))
+    carry = unpack(M)
+    fields = finalize_fields(cfg, carry["fields"], us, imetal, comoving)
+    return SolveResult(
+        fields=fields,
+        n_iterations=jnp.max(carry["cell_it"]),
+        converged=~carry["capped"],
+        cell_iterations=carry["cell_it"],
     )

@@ -1,0 +1,81 @@
+"""Converged-cell compaction must be bit-identical to the monolithic
+subcycle loop (the per-cell update has no cross-cell coupling, so
+gathering survivors into a smaller array between chunks is exact)."""
+
+import numpy as np
+import pytest
+
+import grackle_tpu.api as api
+from grackle_tpu.api import ChemistryData
+from grackle_tpu.utilities.physical_constants import mass_hydrogen_cgs
+
+
+def _make_chem(**kw):
+    cd = ChemistryData()
+    cd.use_grackle = 1
+    cd.with_radiative_cooling = 1
+    cd.primordial_chemistry = 2
+    cd.precision = 32
+    cd.density_units = mass_hydrogen_cgs
+    cd.length_units = 3.0857e21
+    cd.time_units = 3.1556952e13
+    for k, v in kw.items():
+        setattr(cd, k, v)
+    assert cd.initialize() == 1
+    return cd
+
+
+def _state(n, seed=11):
+    rng = np.random.RandomState(seed)
+    tiny = 1e-20
+    f = {"density": 10.0 ** rng.uniform(-1, 3, n).astype(np.float32)}
+    f["HI"] = 0.5 * 0.76 * f["density"]
+    f["HII"] = 0.5 * 0.76 * f["density"]
+    f["HeI"] = 0.24 * f["density"]
+    f["HeII"] = np.full(n, tiny, np.float32)
+    f["HeIII"] = np.full(n, tiny, np.float32)
+    f["de"] = f["HII"].copy()
+    f["HM"] = np.full(n, tiny, np.float32)
+    f["H2I"] = (1e-5 * f["density"]).astype(np.float32)
+    f["H2II"] = np.full(n, tiny, np.float32)
+    T = 10.0 ** rng.uniform(3.2, 6.5, n).astype(np.float32)
+    f["energy"] = (T / 1.0e4 / 0.8).astype(np.float32)
+    return f
+
+
+@pytest.mark.parametrize("chunk", [4, 16])
+def test_compaction_bit_identical(monkeypatch, chunk):
+    monkeypatch.setattr(api, "_COMPACT_MIN_BUCKET", 64)
+    cd = _make_chem(solver_compaction=chunk)
+    n = 512  # >= 4 * forced min bucket -> compaction engages
+    f = _state(n)
+    new_c, diag_c = cd.solve_chemistry(dict(f), 1.0e-4)
+
+    cd0 = _make_chem(solver_compaction=0)
+    new_m, diag_m = cd0.solve_chemistry(dict(f), 1.0e-4)
+
+    assert np.all(np.asarray(diag_c["converged"]))
+    assert np.array_equal(np.asarray(diag_c["cell_iterations"]),
+                          np.asarray(diag_m["cell_iterations"]))
+    for k in new_m:
+        a = np.asarray(new_c[k])
+        b = np.asarray(new_m[k])
+        np.testing.assert_array_equal(a, b, err_msg=k)
+
+
+def test_compaction_off_below_threshold():
+    """Small arrays must take the monolithic jitted path."""
+    cd = _make_chem()  # default solver_compaction=32
+    f = _state(128)
+    new_f, diag = cd.solve_chemistry(f, 1.0e-5)
+    assert np.all(np.asarray(diag["converged"]))
+    assert np.all(np.isfinite(np.asarray(new_f["energy"])))
+
+
+def test_compaction_respects_max_iterations(monkeypatch):
+    monkeypatch.setattr(api, "_COMPACT_MIN_BUCKET", 64)
+    cd = _make_chem(solver_compaction=8, max_iterations=5)
+    f = _state(512)
+    _, diag = cd.solve_chemistry(f, 1.0e-2)
+    assert int(diag["n_iterations"]) <= 5
+    assert not np.all(np.asarray(diag["converged"]))
