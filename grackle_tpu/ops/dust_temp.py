@@ -52,7 +52,7 @@ def calc_gr_balance(tdust, tgas, kgr, trad4, gasgr, gamma_isrf, nh):
 
 
 def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
-                  tdust_init=None):
+                  tdust_init=None, _pallas_int_masks=False):
     """Solve for the equilibrium dust temperature of every cell.
 
     Args:
@@ -89,12 +89,23 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
     nm_mask = itmask & ~done_cold & ~sub_mask
     tdust = jnp.where(done_cold, trad, tdust0)
 
+    # Inside a Pallas kernel, bool arrays in a while_loop carry crash the
+    # Mosaic compiler (see docs/Performance.md, Pallas post-mortem); the
+    # masks are carried as int32 there and decoded at use sites.
+    if _pallas_int_masks:
+        enc = lambda m: m.astype(jnp.int32)  # noqa: E731
+        dec = lambda m: m > 0  # noqa: E731
+    else:
+        enc = dec = lambda m: m  # noqa: E731
+
     def newton_cond(carry):
         tdust, pert, nm_mask, bi_mask, it = carry
-        return (it < ITMAX) & jnp.any(nm_mask)
+        return (it < ITMAX) & jnp.any(dec(nm_mask))
 
     def newton_body(carry):
         tdust, pert, nm_mask, bi_mask, it = carry
+        nm_mask = dec(nm_mask)
+        bi_mask = dec(bi_mask)
         tdplus = jnp.maximum(1.0e-3, (1.0 + pert) * tdust)
         kgr = calc_kappa_gr(tdust)
         kgrplus = calc_kappa_gr(tdplus)
@@ -117,13 +128,26 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
         pert = jnp.where(nm_mask, pertnew, pert)
         bi_mask = bi_mask & ~(nm_mask & converged & ~negative)
         nm_mask = nm_mask & ~negative & ~converged
-        return tdust, pert, nm_mask, bi_mask, it + 1
+        return tdust, pert, enc(nm_mask), enc(bi_mask), it + 1
 
     bi_mask = itmask & ~done_cold
+    # Loop strategy: on TPU a fixed-trip-count fori_loop with unrolling
+    # beats the early-exit while_loop -- the while's trip count is set
+    # by the slowest cell anyway (~33 of ITMAX=50 on mixed states) and
+    # each trip pays a fixed ~8us launch cost, while unrolling divides
+    # the launch count by `unroll` and the extra masked no-op trips are
+    # nearly free on the VPU.  On CPU the early exit wins.  Results are
+    # BIT-IDENTICAL either way: every update is masked, so post-
+    # convergence trips are no-ops.  GTPU_DUST_FORI=0/1 overrides.
     import os as _os
-    if _os.environ.get("GTPU_DUST_FORI"):
-        unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "4"))
-        carry = (tdust, pert0, nm_mask, bi_mask, jnp.int32(0))
+    _fori_env = _os.environ.get("GTPU_DUST_FORI")
+    if _fori_env is not None:
+        use_fori = _fori_env not in ("", "0")
+    else:
+        use_fori = jax.default_backend() == "tpu"
+    if use_fori:
+        unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "8"))
+        carry = (tdust, pert0, enc(nm_mask), enc(bi_mask), jnp.int32(0))
         carry = jax.lax.fori_loop(
             0, ITMAX, lambda i, c: newton_body(c), carry,
             unroll=unroll)
@@ -131,21 +155,40 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
     else:
         tdust, _, _, bi_mask, _ = jax.lax.while_loop(
             newton_cond, newton_body,
-            (tdust, pert0, nm_mask, bi_mask, jnp.int32(0)),
+            (tdust, pert0, enc(nm_mask), enc(bi_mask), jnp.int32(0)),
         )
+    bi_mask = dec(bi_mask)
 
     # Bisection fallback (calc_tdust_1d_g.F:209-261): cells that never
     # converged with Newton, found a sub-CMB solution, or have
     # tgas > T_subl.
     t_low = jnp.where(bi_mask, trad * jnp.ones_like(tgas), tdust)
     t_high = tgas
+    if tdust_init is not None:
+        # Warm-started bracket: the equilibrium moves little between
+        # subcycles (the 10% dt limiter bounds tgas changes), so a +-5%
+        # window around the previous solution usually still brackets the
+        # root -- verified by the balance signs (heating>0 below the
+        # root, <0 above); cells where it does not keep the full
+        # [trad, tgas] bracket.  Cuts ~28 halvings to ~7 per subcycle.
+        lo_c = jnp.maximum(trad, 0.95 * tdust_init)
+        hi_c = jnp.minimum(t_high, 1.05 * tdust_init)
+        s_lo = calc_gr_balance(lo_c, tgas, calc_kappa_gr(lo_c), trad4,
+                               gasgr, gamma_isrf, nh)
+        s_hi = calc_gr_balance(hi_c, tgas, calc_kappa_gr(hi_c), trad4,
+                               gasgr, gamma_isrf, nh)
+        good = ((tdust_init > trad) & (hi_c > lo_c)
+                & (s_lo > 0.0) & (s_hi < 0.0))
+        t_low = jnp.where(bi_mask & good, lo_c, t_low)
+        t_high = jnp.where(bi_mask & good, hi_c, t_high)
 
     def bi_cond(carry):
         t_low, t_high, bi_mask, it = carry
-        return (it < BI_ITMAX) & jnp.any(bi_mask)
+        return (it < BI_ITMAX) & jnp.any(dec(bi_mask))
 
     def bi_body(carry):
         t_low, t_high, bi_mask, it = carry
+        bi_mask = dec(bi_mask)
         t_mid = 0.5 * (t_low + t_high)
         t_mid = jnp.where(it == 0, jnp.minimum(t_mid, T_SUBL), t_mid)
         kgr = calc_kappa_gr(t_mid)
@@ -156,16 +199,15 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
         t_high_new = jnp.where(bi_mask & ~go_up, t_mid, t_high)
         conv = jnp.abs(t_high_new - t_low_new) / t_low_new <= BI_TOL
         bi_mask = bi_mask & ~conv
-        return t_low_new, t_high_new, bi_mask, it + 1
+        return t_low_new, t_high_new, enc(bi_mask), it + 1
 
-    if _os.environ.get("GTPU_DUST_FORI"):
-        unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "4"))
+    if use_fori:
         t_low, _, _, _ = jax.lax.fori_loop(
             0, BI_ITMAX, lambda i, c: bi_body(c),
-            (t_low, t_high, bi_mask, jnp.int32(0)), unroll=unroll)
+            (t_low, t_high, enc(bi_mask), jnp.int32(0)), unroll=unroll)
     else:
         t_low, _, _, _ = jax.lax.while_loop(
-            bi_cond, bi_body, (t_low, t_high, bi_mask, jnp.int32(0))
+            bi_cond, bi_body, (t_low, t_high, enc(bi_mask), jnp.int32(0))
         )
 
     return jnp.where(itmask, t_low, tdust)
