@@ -37,9 +37,32 @@ void set_item(PyObject *dict, const char *key, PyObject *val) {
 bool ensure_python() {
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
+    if (Py_IsInitialized()) {
+      /* Release the GIL held by Py_InitializeEx so that any host
+       * thread (not just the one that triggered initialization) can
+       * later acquire it with PyGILState_Ensure — host codes may call
+       * the API from OpenMP/pthread workers (the reference is likewise
+       * callable from threaded hydro codes; see
+       * grackle: src/example/cxx_omp_example.C). */
+      (void)PyEval_SaveThread();
+    }
   }
   return Py_IsInitialized();
 }
+
+/* RAII GIL acquisition for the calling host thread.  Every API entry
+ * point takes g_mutex first (serializing bridge calls) and then the
+ * GIL; calls are safe from any thread. */
+class GilGuard {
+ public:
+  GilGuard() : state_(PyGILState_Ensure()) {}
+  ~GilGuard() { PyGILState_Release(state_); }
+  GilGuard(const GilGuard &) = delete;
+  GilGuard &operator=(const GilGuard &) = delete;
+
+ private:
+  PyGILState_STATE state_;
+};
 
 PyObject *bridge_module() {
   static PyObject *mod = nullptr;
@@ -199,6 +222,7 @@ int local_initialize_chemistry_data(chemistry_data *my_chemistry,
                                     code_units *my_units) {
   std::lock_guard<std::mutex> lock(g_mutex);
   if (!ensure_python()) return GRACKLE_TPU_FAIL;
+  GilGuard gil;
   PyObject *mod = bridge_module();
   if (mod == nullptr) return GRACKLE_TPU_FAIL;
   PyObject *params = params_dict(my_chemistry);
@@ -231,6 +255,8 @@ int local_solve_chemistry(chemistry_data *my_chemistry,
                           double dt_value) {
   (void)my_chemistry;
   std::lock_guard<std::mutex> lock(g_mutex);
+  if (!ensure_python()) return GRACKLE_TPU_FAIL;
+  GilGuard gil;
   return call_bridge_solve(my_rates->handle, my_units, my_fields,
                            dt_value)
              ? GRACKLE_TPU_SUCCESS
@@ -250,6 +276,8 @@ int solve_chemistry(code_units *my_units, grackle_field_data *my_fields,
       gr_float *out) {                                                    \
     (void)my_chemistry;                                                   \
     std::lock_guard<std::mutex> lock(g_mutex);                            \
+    if (!ensure_python()) return GRACKLE_TPU_FAIL;                         \
+    GilGuard gil;                                                          \
     return call_bridge_calculate("calculate_" #name, my_rates->handle,   \
                                  my_units, my_fields, out)                \
                ? GRACKLE_TPU_SUCCESS                                      \
@@ -273,6 +301,8 @@ int local_free_chemistry_data(chemistry_data *my_chemistry,
                               chemistry_data_storage *my_rates) {
   (void)my_chemistry;
   std::lock_guard<std::mutex> lock(g_mutex);
+  if (!ensure_python()) return GRACKLE_TPU_FAIL;
+  GilGuard gil;
   PyObject *mod = bridge_module();
   if (mod == nullptr) return GRACKLE_TPU_FAIL;
   PyObject *res = PyObject_CallMethod(mod, "free_context", "L",
