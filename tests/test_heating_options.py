@@ -132,6 +132,49 @@ def test_lw_sawtooth_suppression():
     assert np.all(h2[1] >= h2[0])
 
 
+def test_lw_sawtooth_uvb_ramp(data_file):
+    """UVB-path sawtooth (update_UVbackground_rates.c:241-256): with the
+    tanh ramp mid-transition the suppression factor must sit strictly
+    between the floor (0.1) and full strength (1.0), and must equal 1 in
+    the full-on window."""
+    import jax.numpy as jnp
+
+    from grackle_tpu.data.uvb import update_uvb_rates
+
+    def k31_at(z, saw):
+        cd = make_chem(
+            UVbackground=1, grackle_data_file=data_file,
+            metal_cooling=1,
+            LWbackground_intensity=100.0,
+            LWbackground_sawtooth_suppression=saw,
+            UVbackground_redshift_on=7.0,
+            UVbackground_redshift_fullon=3.0,
+            comoving_coordinates=1, a_units=1.0,
+            a_value=1.0 / (1.0 + z),
+        )
+        ctx = cd.context
+        return float(update_uvb_rates(ctx.config, ctx.uvb,
+                                      ctx.units).k31)
+
+    # full-on window: ramp == 1, sawtooth multiplies by exactly 1
+    assert k31_at(1.0, 1) == pytest.approx(k31_at(1.0, 0), rel=1e-6)
+    # ramp midpoint (z = (on+fullon)/2 = 5): factor = 0.1+0.9*0.5
+    mid_on = k31_at(5.0, 1)
+    mid_off = k31_at(5.0, 0)
+    assert mid_on == pytest.approx(0.55 * mid_off, rel=1e-3)
+    # just inside redshift_on the ramp has decayed: factor floors at 0.1
+    hi_on = k31_at(6.9, 1)
+    hi_off = k31_at(6.9, 0)
+    assert hi_on == pytest.approx(0.1 * hi_off, rel=1e-3)
+    # the LW intensity override itself is redshift-independent inside
+    # the window
+    assert mid_off == pytest.approx(hi_off, rel=1e-6)
+    # outside [redshift_off, redshift_on] every UVB rate is zeroed,
+    # including the LW override (update_UVbackground_rates.c:36-45)
+    assert k31_at(9.0, 0) == 0.0
+    assert k31_at(9.0, 1) == 0.0
+
+
 @pytest.mark.parametrize("variant", [0, 1, 2])
 def test_h2_cooling_variants_run(variant):
     cd = make_chem(h2_cooling_variant=variant)
