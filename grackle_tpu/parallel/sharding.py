@@ -109,13 +109,33 @@ def solve_chemistry_sharded(
         pr = _photo_rates(cfg, tables, ctx.uvb, ctx.units)
 
         def local_solve(f_local, l_h2_local):
-            result = _solver.solve_rate_cool(
-                cfg, tables, ctx.cloudy_primordial, ctx.cloudy_metal,
-                pr, us, f_local, dt,
-                imetal=imetal, cloudy_data_new=ctx.cloudy_data_new,
-                l_h2shield_field=l_h2_local,
-                comoving=bool(ctx.units.comoving_coordinates),
-            )
+            # converged-cell compaction composes with shard_map: the
+            # whole batched loop is ordinary traced code, so each shard
+            # compacts its own survivors independently with zero
+            # cross-chip communication (see api.solve_chemistry and
+            # ops/solver.py:solve_rate_cool_compacted)
+            n_local = f_local["density"].shape[0]
+            from ..api import _compact_batch, _COMPACT_MIN_BUCKET
+
+            if (cfg.solver_compaction > 0
+                    and n_local >= 4 * _COMPACT_MIN_BUCKET):
+                result = _solver.solve_rate_cool_compacted(
+                    cfg, tables, ctx.cloudy_primordial, ctx.cloudy_metal,
+                    pr, us, f_local, dt,
+                    imetal=imetal, cloudy_data_new=ctx.cloudy_data_new,
+                    l_h2shield_field=l_h2_local,
+                    comoving=bool(ctx.units.comoving_coordinates),
+                    warm=int(cfg.solver_compaction),
+                    batch=_compact_batch(n_local),
+                )
+            else:
+                result = _solver.solve_rate_cool(
+                    cfg, tables, ctx.cloudy_primordial, ctx.cloudy_metal,
+                    pr, us, f_local, dt,
+                    imetal=imetal, cloudy_data_new=ctx.cloudy_data_new,
+                    l_h2shield_field=l_h2_local,
+                    comoving=bool(ctx.units.comoving_coordinates),
+                )
             # per-shard iteration count, shaped [1] so it gathers to
             # [n_devices]
             return (result.fields, result.n_iterations[None],

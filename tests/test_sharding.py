@@ -99,3 +99,32 @@ def test_sharded_uneven_n():
     np.testing.assert_allclose(
         np.asarray(shard_f["HI"]), np.asarray(ref_f["HI"]), rtol=1e-12
     )
+
+
+def test_sharded_compaction_equals_single(monkeypatch):
+    """Per-shard converged-cell compaction under shard_map must match the
+    single-device monolithic solve bit-for-bit."""
+    import grackle_tpu.api as api
+
+    monkeypatch.setattr(api, "_COMPACT_MIN_BUCKET", 16)
+    cd = make_chem(1)
+    cd.solver_compaction = 8
+    assert cd.initialize() == 1
+    n = 1024  # 128/shard >= 4*16 -> compaction engages per shard
+    fc = make_fields(cd, n)
+    fields = fc._solver_fields()
+    dt = 1.0e-3
+
+    cd0 = make_chem(1)
+    cd0.solver_compaction = 0
+    assert cd0.initialize() == 1
+    ref_f, _ = cd0.solve_chemistry(fields, dt)
+
+    mesh = make_cell_mesh()
+    shard_f, diag = solve_chemistry_sharded(cd.context, fields, dt, mesh)
+    assert bool(np.all(np.asarray(diag["converged"])))
+    for name in ["HI", "HII", "de", "energy"]:
+        np.testing.assert_array_equal(
+            np.asarray(shard_f[name]), np.asarray(ref_f[name]),
+            err_msg=name,
+        )
