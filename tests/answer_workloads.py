@@ -123,11 +123,46 @@ def workload_12species_dust():
     return out
 
 
+def workload_rate_tables():
+    """Rate-coefficient regression (analogue of the reference's
+    test_initialisation.py:40-183 + stored rate_coefficients.h5,
+    rtol 1e-7): initialize parameter sets covering the rate-option
+    branches and dump every 1-D rate table."""
+    import dataclasses
+
+    out = {}
+    option_sets = {
+        "default": dict(primordial_chemistry=3),
+        "threebody4_caseB": dict(primordial_chemistry=3,
+                                 three_body_rate=4,
+                                 CaseBRecombination=1),
+        "dust_pe": dict(primordial_chemistry=3, metal_cooling=1,
+                        dust_chemistry=1, photoelectric_heating=2,
+                        grackle_data_file=_data_file()),
+        "charge_exchange2": dict(primordial_chemistry=2,
+                                 h2_charge_exchange_rate=2,
+                                 h2_dust_rate=2,
+                                 h2_h_cooling_rate=2),
+    }
+    for label, opts in option_sets.items():
+        cd = _base_chem(**opts)
+        tables = cd.context.tables
+        for f in dataclasses.fields(type(tables)):
+            v = getattr(tables, f.name)
+            if v is None or f.name in ("cool_cols", "chem_cols"):
+                continue
+            arr = np.asarray(v)
+            if arr.ndim >= 1:
+                out[f"{label}/{f.name}"] = arr
+    return out
+
+
 WORKLOADS = {
     "tabulated": workload_tabulated,
     "6species": workload_6species,
     "9species_shield": workload_9species_shield,
     "12species_dust": workload_12species_dust,
+    "rate_tables": workload_rate_tables,
 }
 
 

@@ -68,3 +68,14 @@ def test_verbose_initialize_writes_info(tmp_path, monkeypatch):
     finally:
         ginfo.set_verbose(False)
     assert os.path.exists(tmp_path / "GRACKLE_TPU_INFO")
+
+
+def test_get_grackle_version():
+    """Version struct (analogue of test_get_grackle_version.py)."""
+    from grackle_tpu.version import get_grackle_version
+
+    v = get_grackle_version()
+    assert v.version
+    assert [int(x) for x in v.version.split(".")]
+    assert isinstance(v.branch, str)
+    assert isinstance(v.revision, str)
