@@ -157,11 +157,9 @@ def _photo_rates(cfg, tables, uvb, units):
     static_argnames=("cfg", "imetal", "cloudy_data_new", "comoving"),
 )
 def _solve_chemistry_core(
-    cfg, tables, cloudy_prim, cloudy_met, uvb, units, fields, dt,
-    grid_dx, l_h2shield_field, imetal, cloudy_data_new, comoving,
+    cfg, tables, cloudy_prim, cloudy_met, us, pr, fields, dt,
+    l_h2shield_field, imetal, cloudy_data_new, comoving,
 ):
-    us = make_unit_scalars(cfg, tables, units, grid_dx)
-    pr = _photo_rates(cfg, tables, uvb, units)
     result = _solver.solve_rate_cool(
         cfg, tables, cloudy_prim, cloudy_met, pr, us, fields, dt,
         imetal=imetal, cloudy_data_new=cloudy_data_new,
@@ -197,12 +195,10 @@ def _compact_batch(n):
     ),
 )
 def _solve_chemistry_core_compact(
-    cfg, tables, cloudy_prim, cloudy_met, uvb, units, fields, dt,
-    grid_dx, l_h2shield_field, imetal, cloudy_data_new, comoving,
+    cfg, tables, cloudy_prim, cloudy_met, us, pr, fields, dt,
+    l_h2shield_field, imetal, cloudy_data_new, comoving,
     batch, warm,
 ):
-    us = make_unit_scalars(cfg, tables, units, grid_dx)
-    pr = _photo_rates(cfg, tables, uvb, units)
     result = _solver.solve_rate_cool_compacted(
         cfg, tables, cloudy_prim, cloudy_met, pr, us, fields, dt,
         imetal=imetal, cloudy_data_new=cloudy_data_new,
@@ -218,11 +214,9 @@ def _solve_chemistry_core_compact(
     static_argnames=("cfg", "imetal", "cloudy_data_new", "comoving"),
 )
 def _cooling_time_core(
-    cfg, tables, cloudy_prim, cloudy_met, uvb, units, fields,
+    cfg, tables, cloudy_prim, cloudy_met, us, pr, fields,
     imetal, cloudy_data_new, comoving,
 ):
-    us = make_unit_scalars(cfg, tables, units)
-    pr = _photo_rates(cfg, tables, uvb, units)
     return _derived.calculate_cooling_time(
         cfg, tables, cloudy_prim, cloudy_met, pr, us, fields,
         imetal=imetal, cloudy_data_new=cloudy_data_new, comoving=comoving,
@@ -230,29 +224,25 @@ def _cooling_time_core(
 
 
 @partial(jax.jit, static_argnames=("cfg", "imetal"))
-def _temperature_core(cfg, tables, cloudy_prim, units, fields, imetal):
-    us = make_unit_scalars(cfg, tables, units)
+def _temperature_core(cfg, tables, cloudy_prim, us, fields, imetal):
     return _derived.calculate_temperature(
         cfg, cloudy_prim, us, fields, imetal
     )
 
 
 @partial(jax.jit, static_argnames=("cfg", "imetal"))
-def _pressure_core(cfg, tables, units, fields, imetal):
-    us = make_unit_scalars(cfg, tables, units)
+def _pressure_core(cfg, tables, us, fields, imetal):
     return _derived.calculate_pressure(cfg, us, fields, imetal)
 
 
 @partial(jax.jit, static_argnames=("cfg", "imetal"))
-def _gamma_core(cfg, tables, cloudy_prim, units, fields, imetal):
-    us = make_unit_scalars(cfg, tables, units)
+def _gamma_core(cfg, tables, cloudy_prim, us, fields, imetal):
     return _derived.calculate_gamma(cfg, cloudy_prim, us, fields, imetal)
 
 
 @partial(jax.jit, static_argnames=("cfg", "imetal"))
-def _dust_temperature_core(cfg, tables, cloudy_prim, units, fields,
+def _dust_temperature_core(cfg, tables, cloudy_prim, us, units, fields,
                            imetal):
-    us = make_unit_scalars(cfg, tables, units)
     return _derived.calculate_dust_temperature(
         cfg, tables, cloudy_prim, us, fields, units, imetal
     )
@@ -317,20 +307,27 @@ def solve_chemistry(ctx: GrackleContext, fields, dt,
     dtype = solver_dtype(cfg)
     n = f["density"].shape[0] if f["density"].ndim == 1 else 0
     comoving = bool(ctx.units.comoving_coordinates)
+    # unit scalars and UVB photo rates are per-call HOST work (the
+    # reference likewise computes them in C per call,
+    # update_UVbackground_rates.c:25-289): with python-float code units
+    # the arithmetic runs in true host f64, avoiding the TPU backend's
+    # range-limited f64 emulation (intermediates like time_units**3
+    # overflow the f32-pair representation and NaN when traced).
+    us = make_unit_scalars(cfg, ctx.tables, ctx.units, grid_dx)
+    pr = _photo_rates(cfg, ctx.tables, ctx.uvb, ctx.units)
     if (cfg.solver_compaction > 0
             and n >= 4 * _COMPACT_MIN_BUCKET):
         new_f, n_iter, converged, cell_iter = _solve_chemistry_core_compact(
             cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
-            ctx.uvb, ctx.units, f, jnp.asarray(dt, dtype),
-            jnp.asarray(grid_dx, dtype), l_h2, imetal,
+            us, pr, f, jnp.asarray(dt, dtype),
+            l_h2, imetal,
             ctx.cloudy_data_new, comoving,
             _compact_batch(n), int(cfg.solver_compaction),
         )  # solver_compaction = warm-phase subcycle count
     else:
         new_f, n_iter, converged, cell_iter = _solve_chemistry_core(
             cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
-            ctx.uvb, ctx.units, f, jnp.asarray(dt, dtype),
-            jnp.asarray(grid_dx, dtype),
+            us, pr, f, jnp.asarray(dt, dtype),
             l_h2, imetal, ctx.cloudy_data_new, comoving,
         )
     diagnostics = {"n_iterations": n_iter, "converged": converged,
@@ -401,38 +398,44 @@ def solve_chemistry_grid(ctx: GrackleContext, fields, dt,
 
 def calculate_cooling_time(ctx: GrackleContext, fields):
     f, imetal = _prep_fields(ctx, fields)
+    us = make_unit_scalars(ctx.config, ctx.tables, ctx.units)
+    pr = _photo_rates(ctx.config, ctx.tables, ctx.uvb, ctx.units)
     return _cooling_time_core(
         ctx.config, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
-        ctx.uvb, ctx.units, f, imetal, ctx.cloudy_data_new,
+        us, pr, f, imetal, ctx.cloudy_data_new,
         bool(ctx.units.comoving_coordinates),
     )
 
 
 def calculate_temperature(ctx: GrackleContext, fields):
     f, imetal = _prep_fields(ctx, fields)
+    us = make_unit_scalars(ctx.config, ctx.tables, ctx.units)
     return _temperature_core(
-        ctx.config, ctx.tables, ctx.cloudy_primordial, ctx.units, f,
+        ctx.config, ctx.tables, ctx.cloudy_primordial, us, f,
         imetal,
     )
 
 
 def calculate_pressure(ctx: GrackleContext, fields):
     f, imetal = _prep_fields(ctx, fields)
-    return _pressure_core(ctx.config, ctx.tables, ctx.units, f, imetal)
+    us = make_unit_scalars(ctx.config, ctx.tables, ctx.units)
+    return _pressure_core(ctx.config, ctx.tables, us, f, imetal)
 
 
 def calculate_gamma(ctx: GrackleContext, fields):
     f, imetal = _prep_fields(ctx, fields)
+    us = make_unit_scalars(ctx.config, ctx.tables, ctx.units)
     return _gamma_core(
-        ctx.config, ctx.tables, ctx.cloudy_primordial, ctx.units, f,
+        ctx.config, ctx.tables, ctx.cloudy_primordial, us, f,
         imetal,
     )
 
 
 def calculate_dust_temperature(ctx: GrackleContext, fields):
     f, imetal = _prep_fields(ctx, fields)
+    us = make_unit_scalars(ctx.config, ctx.tables, ctx.units)
     return _dust_temperature_core(
-        ctx.config, ctx.tables, ctx.cloudy_primordial, ctx.units, f,
+        ctx.config, ctx.tables, ctx.cloudy_primordial, us, ctx.units, f,
         imetal,
     )
 

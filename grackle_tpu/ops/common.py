@@ -95,9 +95,16 @@ def make_unit_scalars(cfg, tables, units, grid_dx=0.0):
     # 1 eV per H2 formed (solve_rate_cool_g.F:337)
     chunit = 1.60218e-12 / (2.0 * uvel * uvel * mh)
     dx_cgs = grid_dx * xbase1
-    c_ljeans = jnp.sqrt(
-        (cfg.Gamma * pi_val * kboltz) / (GravConst * mh * dbase1)
-    )
+    _lj_arg = (cfg.Gamma * pi_val * kboltz) / (GravConst * mh * dbase1)
+    if isinstance(_lj_arg, (float, int)):
+        # host path (python-float code units): true f64 — the argument
+        # (~1e39 in cgs) exceeds the TPU backend's range-limited f64
+        # emulation, so keep it off-device
+        import math
+
+        c_ljeans = math.sqrt(_lj_arg)
+    else:
+        c_ljeans = jnp.sqrt(_lj_arg)
     utem = units.temperature_units
     zr = 1.0 / (aye * uaye) - 1.0
     comp1 = tables.comp * (1.0 + zr) ** 4
