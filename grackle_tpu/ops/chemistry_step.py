@@ -122,8 +122,10 @@ def lookup_cool_rates(
             k[name] = lk[name]
 
     k13dd = None
-    if ispecies > 1:
-        # (N, 14): coefficient lerp at shared indices
+    if ispecies > 1 and cfg.three_body_rate == 0:
+        # (N, 14): coefficient lerp at shared indices; only evaluated for
+        # the density-dependent k13 path (three_body_rate == 0) -- the
+        # config-pruned fused matrix drops these columns otherwise
         k13dd = lk.k13dd_matrix()
 
     h2dust = None

@@ -36,7 +36,10 @@ def time_variant(name, **overrides):
         assert cd.initialize() == 1
     ctx = cd.context
     cfg = ctx.config
-    fields = {k: jnp.asarray(v) for k, v in ge._make_fields(cd, N).items()}
+    from grackle_tpu.ops.common import solver_dtype
+    dtype = solver_dtype(cfg)
+    fields = {k: jnp.asarray(v, dtype=dtype)
+              for k, v in ge._make_fields(cd, N).items()}
 
     @jax.jit
     def run(f):
@@ -73,7 +76,8 @@ if __name__ == "__main__":
     base = time_variant("flagship (chem3+dust+metal)")
     time_variant("no dust", params={"dust_chemistry": 0,
                                     "cmb_temperature_floor": 1})
-    time_variant("no metal cooling", params={"metal_cooling": 0})
+    time_variant("no metal cooling (dust off too)",
+                 params={"metal_cooling": 0, "dust_chemistry": 0})
     time_variant("three_body_rate=1 (no k13dd)",
                  params={"three_body_rate": 1})
     time_variant("gather lookups (fused off)",

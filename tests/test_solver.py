@@ -160,3 +160,18 @@ def test_three_body_option_changes_solution():
         results[tb] = fc["H2I"].copy()
     rel = np.abs(results[0] / results[4] - 1.0)
     assert np.all(rel > 1e-9), rel
+
+
+@pytest.mark.parametrize("tb", [0, 1, 4])
+def test_three_body_fused_lookup(tb):
+    """Fused-lookup solve works for every three_body_rate branch.
+
+    Regression: the config-pruned stacked chem matrix drops the k13dd
+    columns when three_body_rate != 0, but lookup_cool_rates used to
+    request them unconditionally for ispecies > 1 (KeyError under
+    use_fused_lookup=1)."""
+    cd = make_chem(2, three_body_rate=tb, use_fused_lookup=1)
+    fc = make_fc(cd, n=4, T0=1.0e3, density=1.0e8)
+    fc.solve_chemistry(1.0e-6)
+    assert np.all(np.isfinite(fc["H2I"]))
+    assert np.all(fc["H2I"] > 0)
