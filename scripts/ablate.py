@@ -73,6 +73,12 @@ def time_variant(name, **overrides):
 
 if __name__ == "__main__":
     print(f"N={N} CHUNK={CHUNK} platform={jax.default_backend()}")
+    if len(sys.argv) > 3 and sys.argv[3] == "sweep":
+        # width sweep: fixed-overhead vs linear-cost attribution
+        for n in [8192, 16384, 32768, 65536, 131072, 262144, 1048576]:
+            N = n
+            time_variant(f"flagship @ N={n}")
+        sys.exit(0)
     base = time_variant("flagship (chem3+dust+metal)")
     time_variant("no dust", params={"dust_chemistry": 0,
                                     "cmb_temperature_floor": 1})

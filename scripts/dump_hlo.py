@@ -1,0 +1,62 @@
+"""Dump the optimized HLO of one full-width subcycle chunk and count ops.
+
+Usage: python scripts/dump_hlo.py [N] [out.txt]
+"""
+
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import __graft_entry__ as ge
+from grackle_tpu.ops import solver as _solver
+from grackle_tpu.ops.common import make_unit_scalars, solver_dtype
+from grackle_tpu.api import _photo_rates
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/subcycle_hlo.txt"
+
+cd = ge._make_context(chem=3, precision=32)
+ctx = cd.context
+cfg = ctx.config
+dtype = solver_dtype(cfg)
+fields = {k: jnp.asarray(v, dtype=dtype)
+          for k, v in ge._make_fields(cd, N).items()}
+
+
+@jax.jit
+def run(f):
+    us = make_unit_scalars(cfg, ctx.tables, ctx.units, 0.0)
+    pr = _photo_rates(cfg, ctx.tables, ctx.uvb, ctx.units)
+    f2, itmask0 = _solver.prepare_fields(cfg, f, us, True, False)
+    carry = _solver.init_carry(f2, itmask0)
+    carry = _solver.run_subcycles(
+        cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
+        pr, us, carry, 1.0e-4, imetal=True,
+        cloudy_data_new=ctx.cloudy_data_new, chunk=32,
+    )
+    return carry["fields"]["energy"], carry["cell_it"]
+
+
+txt = run.lower(fields).compile().as_text()
+with open(OUT, "w") as fh:
+    fh.write(txt)
+
+ops = Counter()
+in_body = False
+for line in txt.splitlines():
+    s = line.strip()
+    if s.startswith("%") or " = " in s:
+        if " = " in s:
+            rhs = s.split(" = ", 1)[1]
+            op = rhs.split("(", 1)[0].split(" ")[-1].split(".")[0]
+            ops[op.rstrip("0123456789-")] += 1
+print(f"wrote {OUT} ({len(txt)} bytes)")
+for op, c in ops.most_common(25):
+    print(f"  {op:28s} {c}")
+n_fusion = sum(c for o, c in ops.items() if o.startswith("fusion"))
+print("total fusions:", n_fusion)
