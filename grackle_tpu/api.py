@@ -21,6 +21,7 @@ class, src/python/pygrackle/grackle_wrapper.pyx:22-1051):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Optional
 
@@ -183,9 +184,16 @@ _COMPACT_MIN_BUCKET = 8192
 def _compact_batch(n):
     # Measured sweet spot on v5e is an ABSOLUTE batch of ~32k cells
     # regardless of n (bigger batches waste lanes on stragglers, smaller
-    # ones lose to the fixed ~0.4 ms/subcycle dispatch floor), clamped
+    # ones lose to the fixed ~1 ms/subcycle dispatch floor), clamped
     # to n/4 so small arrays still compact usefully.
-    return max(_COMPACT_MIN_BUCKET, min(32768, n // 4))
+    env = os.environ.get("GTPU_COMPACT_BATCH")
+    try:
+        target = int(env) if env else 32768
+    except ValueError as exc:
+        raise ValueError(
+            f"GTPU_COMPACT_BATCH must be an integer, got {env!r}"
+        ) from exc
+    return max(_COMPACT_MIN_BUCKET, min(target, n // 4))
 
 
 @partial(
