@@ -42,6 +42,8 @@ BRANCHES = {
                               "interstellar_radiation_field": 1.5}),
     "volumetric_heating": (1, False, {"use_volumetric_heating_rate": 1}),
     "three_body4_dust": (3, True, {"three_body_rate": 4}),
+    "h2_self_shield_userlength": (2, False, {"H2_self_shielding": 2}),
+    "tabulated_uvb": (0, True, {"UVbackground": 1, "dust_chemistry": 0}),
 }
 
 
@@ -90,14 +92,28 @@ def _run(fused, chem, data_file, params):
             fc["RT_H2_dissociation_rate"][:] = 1e-13
     if cd.H2_custom_shielding:
         fc["H2_custom_shielding_factor"][:] = 0.7
+    if cd.H2_self_shielding == 2:
+        fc["H2_self_shielding_length"][:] = 1.0e-3
     if cd.use_volumetric_heating_rate:
         fc["volumetric_heating_rate"][:] = 1e-26
     T = 10.0 ** rng.uniform(3.5, 6.0, n)
     fc.calculate_mean_molecular_weight()
     fc["energy"] = T / cd.temperature_units / fc["mu"] / (cd.Gamma - 1.0)
     fc.solve_chemistry(1.0e-4)
-    keys = ["energy"] + (["HI", "de"] if chem > 0 else []) \
-        + (["H2I"] if chem > 1 else [])
+    # derived-field calculators walk the same config-pruned lookup
+    # machinery; exercise them all in every branch
+    fc.calculate_cooling_time()
+    fc.calculate_temperature()
+    fc.calculate_pressure()
+    fc.calculate_gamma()
+    keys = ["energy", "cooling_time", "temperature", "pressure", "gamma"]
+    if chem > 0:
+        keys += ["HI", "de"]
+    if chem > 1:
+        keys += ["H2I"]
+    if cd.dust_chemistry:
+        fc.calculate_dust_temperature()
+        keys += ["dust_temperature"]
     return {k: fc[k].copy() for k in keys}
 
 
