@@ -44,6 +44,10 @@ BRANCHES = {
     "three_body4_dust": (3, True, {"three_body_rate": 4}),
     "h2_self_shield_userlength": (2, False, {"H2_self_shielding": 2}),
     "tabulated_uvb": (0, True, {"UVbackground": 1, "dust_chemistry": 0}),
+    # dense-collapse regime: activates the high-density H2-equilibrium
+    # dt limiter (solve_rate_cool_g.F:592-643) that quiescent states
+    # never reach
+    "dense_collapse": (2, False, {"_dense": True}),
 }
 
 
@@ -60,6 +64,8 @@ def _run(fused, chem, data_file, params):
     cd.density_units = mass_hydrogen_cgs
     cd.length_units = 3.0857e21
     cd.time_units = 3.1556952e13
+    params = dict(params)
+    dense = params.pop("_dense", False)
     for k, v in params.items():
         setattr(cd, k, v)
     assert cd.initialize() == 1
@@ -68,7 +74,10 @@ def _run(fused, chem, data_file, params):
     rng = np.random.RandomState(7)
     fc = FluidContainer(cd, n)
     tiny = 1e-20
-    fc["density"][:] = 10.0 ** rng.uniform(-1, 3, n)
+    if dense:
+        fc["density"][:] = 10.0 ** rng.uniform(8, 12, n)
+    else:
+        fc["density"][:] = 10.0 ** rng.uniform(-1, 3, n)
     if chem > 0:
         fc["HI"][:] = 0.5 * 0.76 * fc["density"]
         fc["HII"][:] = 0.5 * 0.76 * fc["density"]
