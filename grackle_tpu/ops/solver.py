@@ -76,54 +76,83 @@ def ceiling_species(cfg, f, imetal: bool):
 def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit):
     """High-density H2 equilibrium timestep limiter
     (solve_rate_cool_g.F:592-643): at rho > 1e8 mh with heating, limit dt
-    so the k13/k22 equilibrium H abundance changes by <= 10%."""
+    so the k13/k22 equilibrium H abundance changes by <= 10%.
+
+    The limiter only fires where ``rho*dom > 1e8`` with net heating, which
+    is NO cell at all in most workloads, so the whole computation sits
+    behind a ``lax.cond`` on "any cell dense" -- quiescent states skip it
+    entirely (bit-identical results either way: the limiter's dtit
+    minimum is only taken on masked lanes).
+    """
     fh = cfg.HydrogenFractionByMass
     d = f["density"]
-    dlogtem = (
-        jnp.log(cfg.TemperatureEnd) - jnp.log(cfg.TemperatureStart)
-    ) / (cfg.NumberOfTemperatureBins - 1)
-    ti = rs.ti
-    k13a, k22a = tables.k13, tables.k22
-    fused = cfg.use_fused_lookup == 1
-    if fused:
-        from .lookup import twohot_weights
-
-        pair = jnp.stack([k13a, k22a], axis=1)  # (n_bins, 2)
-
-    def heq_at(eqt):
-        eqtdef = (eqt - ti.t1) / (ti.t2 - ti.t1)
-        if fused:
-            w = twohot_weights(ti.idx, eqtdef, pair.shape[0], pair.dtype)
-            vals = jax.lax.dot_general(
-                w, pair, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=pair.dtype,
-            )
-            k13_i, k22_i = vals[:, 0], vals[:, 1]
-        else:
-            k22_i = k22a[ti.idx] \
-                + (k22a[ti.idx + 1] - k22a[ti.idx]) * eqtdef
-            k13_i = k13a[ti.idx] \
-                + (k13a[ti.idx + 1] - k13a[ti.idx]) * eqtdef
-        return (-1.0 / (4.0 * k22_i)) * (
-            k13_i - jnp.sqrt(8.0 * k13_i * k22_i * fh * d + k13_i**2)
-        )
-
     tgas = cool.tgas
-    eqt2 = jnp.minimum(jnp.log(tgas) + 0.1 * dlogtem, ti.t2)
-    eqt1 = jnp.maximum(jnp.log(tgas) - 0.1 * dlogtem, ti.t1)
-    heq2 = heq_at(eqt2)
-    heq1 = heq_at(eqt1)
-    dheq = (
-        jnp.abs(heq2 - heq1) / (jnp.exp(eqt2) - jnp.exp(eqt1))
-    ) * (tgas / cool.p2d) * cool.edot
-    k13, k22 = rs.k["k13"], rs.k["k22"]
-    heq = (-1.0 / (4.0 * k22)) * (
-        k13 - jnp.sqrt(8.0 * k13 * k22 * fh * d + k13**2)
-    )
-    limit = 0.1 * heq / dheq
     apply = (d * us.dom > 1.0e8) & (cool.edot > 0.0)
-    return jnp.where(apply, jnp.minimum(dtit, limit), dtit)
+
+    def limited(dtit):
+        dlogtem = (
+            jnp.log(cfg.TemperatureEnd) - jnp.log(cfg.TemperatureStart)
+        ) / (cfg.NumberOfTemperatureBins - 1)
+        ti = rs.ti
+        k13a, k22a = tables.k13, tables.k22
+        fused = cfg.use_fused_lookup == 1
+        if fused:
+            # Both evaluation points eqt1/eqt2 are clipped into the SAME
+            # temperature bin [ti.t1, ti.t2] that brackets tgas, so a
+            # single one-hot (N, n_bins) @ (n_bins, 4) contraction
+            # fetching the bracketing (lo, hi) values of k13/k22 serves
+            # both points; the lerp then runs exactly per cell.  (The
+            # previous form paid TWO dense two-hot HIGHEST matmuls here
+            # -- ~30% of the whole subcycle on v5e.)  One-hot weights
+            # are exact in bf16, so Precision.HIGH reproduces the f32
+            # table values to ~1e-7.
+            from .lookup import _LOOKUP_PRECISION
+
+            quad = jnp.stack(
+                [k13a, k22a,
+                 jnp.roll(k13a, -1), jnp.roll(k22a, -1)], axis=1
+            )  # (n_bins, 4): lo13, lo22, hi13, hi22 per row
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (ti.idx.shape[0], quad.shape[0]), 1
+            )
+            w = (iota == ti.idx[:, None]).astype(quad.dtype)
+            vals = jax.lax.dot_general(
+                w, quad, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=_LOOKUP_PRECISION,
+                preferred_element_type=quad.dtype,
+            )
+            lo13, lo22, hi13, hi22 = (
+                vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
+            )
+        else:
+            lo13, hi13 = k13a[ti.idx], k13a[ti.idx + 1]
+            lo22, hi22 = k22a[ti.idx], k22a[ti.idx + 1]
+
+        def heq_at(eqt):
+            eqtdef = (eqt - ti.t1) / (ti.t2 - ti.t1)
+            k13_i = lo13 + (hi13 - lo13) * eqtdef
+            k22_i = lo22 + (hi22 - lo22) * eqtdef
+            return (-1.0 / (4.0 * k22_i)) * (
+                k13_i - jnp.sqrt(8.0 * k13_i * k22_i * fh * d + k13_i**2)
+            )
+
+        eqt2 = jnp.minimum(jnp.log(tgas) + 0.1 * dlogtem, ti.t2)
+        eqt1 = jnp.maximum(jnp.log(tgas) - 0.1 * dlogtem, ti.t1)
+        heq2 = heq_at(eqt2)
+        heq1 = heq_at(eqt1)
+        dheq = (
+            jnp.abs(heq2 - heq1) / (jnp.exp(eqt2) - jnp.exp(eqt1))
+        ) * (tgas / cool.p2d) * cool.edot
+        k13, k22 = rs.k["k13"], rs.k["k22"]
+        heq = (-1.0 / (4.0 * k22)) * (
+            k13 - jnp.sqrt(8.0 * k13 * k22 * fh * d + k13**2)
+        )
+        limit = 0.1 * heq / dheq
+        return jnp.where(apply, jnp.minimum(dtit, limit), dtit)
+
+    return jax.lax.cond(
+        jnp.any(apply), limited, lambda dtit: dtit, dtit
+    )
 
 
 @dataclasses.dataclass(frozen=True)
