@@ -104,7 +104,10 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
 
     def newton_body(carry):
         tdust, pert, nm_mask, bi_mask, it = carry
-        nm_mask = dec(nm_mask)
+        # scalar iteration-cap guard: lets a multi-step loop body overrun
+        # the block boundary with exact semantics (steps at it >= ITMAX
+        # are no-ops, identical to the reference's hard cap)
+        nm_mask = dec(nm_mask) & (it < ITMAX)
         bi_mask = dec(bi_mask)
         tdplus = jnp.maximum(1.0e-3, (1.0 + pert) * tdust)
         kgr = calc_kappa_gr(tdust)
@@ -131,32 +134,47 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
         return tdust, pert, enc(nm_mask), enc(bi_mask), it + 1
 
     bi_mask = itmask & ~done_cold
-    # Loop strategy: on TPU a fixed-trip-count fori_loop with unrolling
-    # beats the early-exit while_loop -- the while's trip count is set
-    # by the slowest cell anyway (~33 of ITMAX=50 on mixed states) and
-    # each trip pays a fixed ~8us launch cost, while unrolling divides
-    # the launch count by `unroll` and the extra masked no-op trips are
-    # nearly free on the VPU.  On CPU the early exit wins.  Results are
-    # BIT-IDENTICAL either way: every update is masked, so post-
-    # convergence trips are no-ops.  GTPU_DUST_FORI=0/1 overrides.
+    # Loop strategy on TPU: an early-exit while_loop whose BODY is
+    # `unroll` masked Newton steps.  Each while trip costs a fixed
+    # ~8 us launch, so the 1-step-body while pays ~33 launches on cold
+    # states; a fixed-trip fori_loop(ITMAX, unroll=8) pays a constant
+    # ~7 blocks even though the warm-started solve (tdust_init from the
+    # previous subcycle) converges in 1-2 steps.  The blocked while
+    # exits after ONE block in the warm steady state and still bounds
+    # the cold case at ceil(50/8) blocks.  Results are BIT-IDENTICAL
+    # across all strategies: every update is masked, post-convergence
+    # steps are no-ops, and the scalar `it < ITMAX` guard inside the
+    # body keeps the iteration cap exact when a block overruns it.
+    # On CPU the plain early-exit while wins.  GTPU_DUST_LOOP overrides:
+    # one of blocked|fori|while.
     import os as _os
-    _fori_env = _os.environ.get("GTPU_DUST_FORI")
-    if _fori_env is not None:
-        use_fori = _fori_env not in ("", "0")
-    else:
-        use_fori = jax.default_backend() == "tpu"
-    if use_fori:
-        unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "8"))
-        carry = (tdust, pert0, enc(nm_mask), enc(bi_mask), jnp.int32(0))
-        carry = jax.lax.fori_loop(
-            0, ITMAX, lambda i, c: newton_body(c), carry,
-            unroll=unroll)
-        tdust, _, _, bi_mask, _ = carry
-    else:
-        tdust, _, _, bi_mask, _ = jax.lax.while_loop(
-            newton_cond, newton_body,
-            (tdust, pert0, enc(nm_mask), enc(bi_mask), jnp.int32(0)),
+    _loop_env = _os.environ.get("GTPU_DUST_LOOP")
+    if _loop_env is None:
+        _fori_env = _os.environ.get("GTPU_DUST_FORI")  # legacy knob
+        if _fori_env is not None:
+            _loop_env = "fori" if _fori_env not in ("", "0") else "while"
+    if _loop_env is None:
+        _loop_env = (
+            "blocked" if jax.default_backend() == "tpu" else "while"
         )
+    unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "8"))
+
+    def _blocked(cond, body, carry):
+        def blk_body(c):
+            for _ in range(unroll):
+                c = body(c)
+            return c
+        return jax.lax.while_loop(cond, blk_body, carry)
+
+    carry0 = (tdust, pert0, enc(nm_mask), enc(bi_mask), jnp.int32(0))
+    if _loop_env == "fori":
+        carry = jax.lax.fori_loop(
+            0, ITMAX, lambda i, c: newton_body(c), carry0, unroll=unroll)
+    elif _loop_env == "blocked":
+        carry = _blocked(newton_cond, newton_body, carry0)
+    else:
+        carry = jax.lax.while_loop(newton_cond, newton_body, carry0)
+    tdust, _, _, bi_mask, _ = carry
     bi_mask = dec(bi_mask)
 
     # Bisection fallback (calc_tdust_1d_g.F:209-261): cells that never
@@ -188,7 +206,7 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
 
     def bi_body(carry):
         t_low, t_high, bi_mask, it = carry
-        bi_mask = dec(bi_mask)
+        bi_mask = dec(bi_mask) & (it < BI_ITMAX)
         t_mid = 0.5 * (t_low + t_high)
         t_mid = jnp.where(it == 0, jnp.minimum(t_mid, T_SUBL), t_mid)
         kgr = calc_kappa_gr(t_mid)
@@ -201,13 +219,14 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
         bi_mask = bi_mask & ~conv
         return t_low_new, t_high_new, enc(bi_mask), it + 1
 
-    if use_fori:
+    bi_carry0 = (t_low, t_high, enc(bi_mask), jnp.int32(0))
+    if _loop_env == "fori":
         t_low, _, _, _ = jax.lax.fori_loop(
-            0, BI_ITMAX, lambda i, c: bi_body(c),
-            (t_low, t_high, enc(bi_mask), jnp.int32(0)), unroll=unroll)
+            0, BI_ITMAX, lambda i, c: bi_body(c), bi_carry0,
+            unroll=unroll)
+    elif _loop_env == "blocked":
+        t_low, _, _, _ = _blocked(bi_cond, bi_body, bi_carry0)
     else:
-        t_low, _, _, _ = jax.lax.while_loop(
-            bi_cond, bi_body, (t_low, t_high, enc(bi_mask), jnp.int32(0))
-        )
+        t_low, _, _, _ = jax.lax.while_loop(bi_cond, bi_body, bi_carry0)
 
     return jnp.where(itmask, t_low, tdust)
