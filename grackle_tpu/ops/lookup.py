@@ -168,16 +168,31 @@ def h2dust_lookup_fused(lk: "TableLookup", h2dust_v, d_ti: TableIndex):
     """Factored h2dust evaluation for the fused path:
     10**sum_r u_r(T) v_r(T_dust), where u/v are the rank-16 log-space SVD
     factors of the 2-D table (relative reconstruction error ~2e-9).  Only
-    1-D lookups — no per-subcycle (n_T x n_Td) contraction."""
+    1-D lookups — no per-subcycle (n_T x n_Td) contraction.
+
+    The dust-T factor lookup is a one-hot (N, n_td) contraction fetching
+    the bracketing (lo, hi) factor rows, then an exact per-cell f32 lerp
+    — cheaper to generate than two-hot interpolation weights (one lane
+    compare instead of two) and more accurate (one-hot rows are exact in
+    bf16, so Precision.HIGH reproduces the f32 factors to ~1e-7)."""
     u = lk.h2dust_u()  # (N, r), interpolated at the gas-T index
-    n_td = h2dust_v.shape[0]
-    w_d = twohot_weights(d_ti.idx, d_ti.tdef, n_td, h2dust_v.dtype)
-    v = jax.lax.dot_general(
-        w_d, h2dust_v,
+    n_td, r = h2dust_v.shape
+    # (n_td, 2r): row j = [v[j], v[j+1]]; d_ti.idx <= n_td - 2, so the
+    # rolled last row is never selected
+    pair = jnp.concatenate(
+        [h2dust_v, jnp.roll(h2dust_v, -1, axis=0)], axis=1
+    )
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (d_ti.idx.shape[0], n_td), 1
+    )
+    w_d = (iota == d_ti.idx[:, None]).astype(h2dust_v.dtype)
+    lohi = jax.lax.dot_general(
+        w_d, pair,
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=_LOOKUP_PRECISION,
         preferred_element_type=h2dust_v.dtype,
-    )  # (N, r)
+    )  # (N, 2r)
+    v = lohi[:, :r] + (lohi[:, r:] - lohi[:, :r]) * d_ti.tdef[:, None]
     return 10.0 ** jnp.sum(u * v, axis=1)
 
 
