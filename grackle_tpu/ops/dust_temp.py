@@ -159,7 +159,15 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
         )
     unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "8"))
 
-    def _blocked(cond, body, carry):
+    def _blocked(cond, body, carry, lead: int = 2):
+        # Warm-started solves converge in 1-2 steps, so run a short
+        # `lead` block first; the while then usually sees an all-retired
+        # mask and exits without paying a full `unroll` block.  The lead
+        # runs as a fori_loop so the step compiles to the same fused
+        # body as the while blocks -- inlining it lets XLA fuse/contract
+        # the arithmetic differently and drift by an ulp.
+        carry = jax.lax.fori_loop(0, lead, lambda i, c: body(c), carry)
+
         def blk_body(c):
             for _ in range(unroll):
                 c = body(c)
