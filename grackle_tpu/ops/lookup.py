@@ -25,6 +25,14 @@ _LOOKUP_PRECISION = getattr(
     os.environ.get("GRACKLE_TPU_LOOKUP_PRECISION", "HIGH"),
 )
 
+# Table sets evaluated via the one-hot + explicit-lerp strategy instead
+# of two-hot interpolation weights (see lookup_all_onehot).  Measured on
+# v5e: a win for the narrow 'cool' set (weight-generation bound), a
+# loss for the wide 'chem' set (MXU pass cost scales with K).
+_ONEHOT_SETS = frozenset(
+    s for s in os.environ.get("GTPU_ONEHOT_SETS", "cool").split(",") if s
+)
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -114,6 +122,30 @@ def lookup_all(stacked, ti: TableIndex):
     )
 
 
+def lookup_all_onehot(stacked, ti: TableIndex):
+    """lookup_all via a one-hot fetch of the bracketing (lo, hi) rows and
+    an exact per-cell f32 lerp.  Halves the weight-generation VPU work
+    (one lane compare instead of two) and is more accurate under
+    Precision.HIGH (one-hot rows are exact in bf16), at the cost of a 2x
+    wider contraction output — a win for narrow table sets, a loss for
+    wide ones (the MXU pass cost scales with K)."""
+    n_bins, k = stacked.shape
+    pair = jnp.concatenate(
+        [stacked, jnp.roll(stacked, -1, axis=0)], axis=1
+    )  # (n_bins, 2K); ti.idx <= n_bins - 2, rolled last row never read
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (ti.idx.shape[0], n_bins), 1
+    )
+    w = (iota == ti.idx[:, None]).astype(stacked.dtype)
+    lohi = jax.lax.dot_general(
+        w, pair,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_LOOKUP_PRECISION,
+        preferred_element_type=stacked.dtype,
+    )
+    return lohi[:, :k] + (lohi[:, k:] - lohi[:, :k]) * ti.tdef[:, None]
+
+
 class TableLookup:
     """Unified per-iteration table access.
 
@@ -135,7 +167,13 @@ class TableLookup:
             names = tables.chem_cols
             stacked = tables.stacked_chem
         self._index = {name: i for i, name in enumerate(names)}
-        self._vals = lookup_all(stacked, ti) if use_fused else None
+        if use_fused:
+            if table_set in _ONEHOT_SETS:
+                self._vals = lookup_all_onehot(stacked, ti)
+            else:
+                self._vals = lookup_all(stacked, ti)
+        else:
+            self._vals = None
 
     def __getitem__(self, name: str):
         if self._fused:
