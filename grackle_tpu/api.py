@@ -182,13 +182,13 @@ _COMPACT_MIN_BUCKET = 8192
 
 
 def _compact_batch(n):
-    # Measured sweet spot on v5e is an ABSOLUTE batch of ~32k cells
+    # Measured sweet spot on v5e is an ABSOLUTE batch of ~48k cells
     # regardless of n (bigger batches waste lanes on stragglers, smaller
-    # ones lose to the fixed ~1 ms/subcycle dispatch floor), clamped
+    # ones lose to the fixed per-subcycle dispatch floor), clamped
     # to n/4 so small arrays still compact usefully.
     env = os.environ.get("GTPU_COMPACT_BATCH")
     try:
-        target = int(env) if env else 32768
+        target = int(env) if env else 49152
     except ValueError as exc:
         raise ValueError(
             f"GTPU_COMPACT_BATCH must be an integer, got {env!r}"

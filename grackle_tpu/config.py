@@ -111,7 +111,7 @@ PARAMETER_REGISTRY: Dict[str, Tuple[type, Any]] = {
     # per-cell).  The value is the warm-phase subcycle count; 0 disables;
     # the driver also auto-disables below 4*8192 cells where batching
     # overhead would dominate.
-    "solver_compaction": (int, 16),
+    "solver_compaction": (int, 20),
     "max_iterations": (int, 10000),
     "exit_after_iterations_exceeded": (int, 0),
     # Analogue of omp_nthreads: number of host threads used by the async
