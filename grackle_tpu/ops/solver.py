@@ -15,6 +15,7 @@ enabled processes.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -527,6 +528,14 @@ def solve_rate_cool_compacted(
             c["l_h2shield"] = m[:, i + 3]
         return c
 
+    # Each outer trip runs its batch for at most `chunk` subcycles
+    # before returning survivors to the pool for re-sorting: a
+    # mispredicted straggler then rejoins a batch of peers instead of
+    # holding `batch - 1` near-idle lanes to its own convergence.
+    # chunk = max_iterations (the default) disables re-chunking.
+    chunk_env = os.environ.get("GTPU_COMPACT_CHUNK")
+    chunk = int(chunk_env) if chunk_env else cfg.max_iterations
+
     def outer_cond(M):
         return jnp.any(M[:, mask_col] > 0)
 
@@ -542,7 +551,7 @@ def solve_rate_cool_compacted(
         )
         key = jnp.where(M[:, mask_col] > 0, residual, -1.0)
         _, idx = jax.lax.top_k(key, batch)
-        sub = run(unpack(M[idx]), cfg.max_iterations)
+        sub = run(unpack(M[idx]), chunk)
         return M.at[idx].set(pack(sub))
 
     M = jax.lax.while_loop(outer_cond, outer_body, pack(carry))
