@@ -47,12 +47,20 @@ def cloudy_cooling(
 
     if use_fused:
         # gather-free path: contract density/redshift axes once, then
-        # row-wise two-hot temperature interpolation (see ops/interp.py)
+        # row-wise two-hot temperature interpolation (see ops/interp.py).
+        # Cooling and heating concatenate along the temperature axis so
+        # the density/redshift contraction runs as ONE conv for both.
         par_t = [cloudy.par1, cloudy.par2, cloudy.par3][rank - 1]
         dtype = logtem.dtype
-        cool_rows = interp.temperature_rows(
-            cloudy, cloudy.cooling, log_n_h, zr, zi0, end_int, dtype
+        d_t = cloudy.cooling.shape[-1]
+        want_heat = iClHeat == 1 and cloudy.heating is not None
+        data = cloudy.cooling
+        if want_heat:
+            data = jnp.concatenate([data, cloudy.heating], axis=-1)
+        rows = interp.temperature_rows(
+            cloudy, data, log_n_h, zr, zi0, end_int, dtype
         )
+        cool_rows = rows[:, :d_t]
         log_cool = interp.rows_at_temperature(cool_rows, par_t, log10tem)
         edot_met = -(10.0**log_cool)
 
@@ -66,12 +74,9 @@ def cloudy_cooling(
                 edot_met,
             )
 
-        if iClHeat == 1 and cloudy.heating is not None:
-            heat_rows = interp.temperature_rows(
-                cloudy, cloudy.heating, log_n_h, zr, zi0, end_int, dtype
-            )
+        if want_heat:
             heat = 10.0 ** interp.rows_at_temperature(
-                heat_rows, par_t, log10tem
+                rows[:, d_t:], par_t, log10tem
             )
             if rank == 3:
                 heat = jnp.where(end_int, 0.0, heat)

@@ -210,7 +210,13 @@ def temperature_rows(cloudy, data, log_n_h, zr, zi0, end_int, dtype):
         data = collapse_redshift(data, cloudy.par2, zr, zi0, end_int)
     d1 = data.shape[0]
     i1, f1 = _uniform_frac(log_n_h, cloudy.par1, d1)
-    w1 = _twohot(i1, f1, d1, dtype)
+    # pad the contraction axis to a multiple of 8 sublanes (odd sizes
+    # push the conv emitter off its fast path; i1 <= d1 - 2, so padded
+    # rows are never selected and contribute exact zeros)
+    d1_pad = -(-d1 // 8) * 8
+    if d1_pad != d1:
+        data = jnp.pad(data, ((0, d1_pad - d1), (0, 0)))
+    w1 = _twohot(i1, f1, d1_pad, dtype)
     return jax.lax.dot_general(
         w1, data,
         dimension_numbers=(((1,), (0,)), ((), ())),
