@@ -159,14 +159,19 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
         )
     unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "8"))
 
-    def _blocked(cond, body, carry, lead: int = 2):
-        # Warm-started solves converge in 1-2 steps, so run a short
-        # `lead` block first; the while then usually sees an all-retired
-        # mask and exits without paying a full `unroll` block.  The lead
-        # runs as a fori_loop so the step compiles to the same fused
-        # body as the while blocks -- inlining it lets XLA fuse/contract
-        # the arithmetic differently and drift by an ulp.
-        carry = jax.lax.fori_loop(0, lead, lambda i, c: body(c), carry)
+    # A short fori "lead" block before the while (GTPU_DUST_LEAD) was a
+    # ~2% win when the rest of the subcycle was slower; after the
+    # lookup-padding and cloudy-merge rounds the lead's separately
+    # launched substeps cost more than the early exit saves (measured
+    # lead=0: ~1.24M vs lead=2: ~1.21M cells/s), so it defaults off.
+    _lead_default = int(_os.environ.get("GTPU_DUST_LEAD", "0"))
+
+    def _blocked(cond, body, carry, lead: int = _lead_default):
+        # The lead runs as a fori_loop so the step compiles to the same
+        # fused body as the while blocks -- inlining it lets XLA
+        # fuse/contract the arithmetic differently and drift by an ulp.
+        if lead:
+            carry = jax.lax.fori_loop(0, lead, lambda i, c: body(c), carry)
 
         def blk_body(c):
             for _ in range(unroll):
