@@ -33,6 +33,14 @@ _ONEHOT_SETS = frozenset(
     s for s in os.environ.get("GTPU_ONEHOT_SETS", "cool").split(",") if s
 )
 
+# One-hot weight matrices are exact in bf16 (entries 0/1), so the
+# weight operand needs no multi-pass splitting: (DEFAULT, HIGH) is
+# bitwise-identical to (HIGH, HIGH) for one-hot lhs (verified on
+# device) and lets the compiler skip the lhs-split passes.
+_ONEHOT_PRECISION = (
+    __import__("jax").lax.Precision.DEFAULT, _LOOKUP_PRECISION
+)
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -154,7 +162,7 @@ def lookup_all_onehot(stacked, ti: TableIndex):
     lohi = jax.lax.dot_general(
         w, pair,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_LOOKUP_PRECISION,
+        precision=_ONEHOT_PRECISION,
         preferred_element_type=stacked.dtype,
     )
     return lohi[:, :k] + (lohi[:, k:] - lohi[:, :k]) * ti.tdef[:, None]
@@ -242,7 +250,7 @@ def h2dust_lookup_fused(lk: "TableLookup", h2dust_v, d_ti: TableIndex):
     lohi = jax.lax.dot_general(
         w_d, pair,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_LOOKUP_PRECISION,
+        precision=_ONEHOT_PRECISION,
         preferred_element_type=h2dust_v.dtype,
     )  # (N, 2r)
     v = lohi[:, :r] + (lohi[:, r:] - lohi[:, :r]) * d_ti.tdef[:, None]

@@ -107,7 +107,7 @@ def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit):
             # -- ~30% of the whole subcycle on v5e.)  One-hot weights
             # are exact in bf16, so Precision.HIGH reproduces the f32
             # table values to ~1e-7.
-            from .lookup import _LOOKUP_PRECISION
+            from .lookup import _ONEHOT_PRECISION
 
             quad = jnp.stack(
                 [k13a, k22a,
@@ -119,7 +119,7 @@ def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit):
             w = (iota == ti.idx[:, None]).astype(quad.dtype)
             vals = jax.lax.dot_general(
                 w, quad, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=_LOOKUP_PRECISION,
+                precision=_ONEHOT_PRECISION,
                 preferred_element_type=quad.dtype,
             )
             lo13, lo22, hi13, hi22 = (
