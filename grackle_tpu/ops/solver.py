@@ -488,8 +488,6 @@ def solve_rate_cool_compacted(
             chunk=n_steps,
         )
 
-    carry = run(carry, warm)
-
     # Pack the whole carry into one (N, C) matrix so each outer trip is
     # ONE row gather and ONE row scatter (per-array gathers inside a
     # while_loop cost ~0.4 ms each on TPU; a single fat one is ~25x
@@ -528,6 +526,35 @@ def solve_rate_cool_compacted(
             c["l_h2shield"] = m[:, i + 3]
         return c
 
+    # --- warm phase, tiled at the batch width ------------------------
+    # Full-width (e.g. 1M-cell) subcycle iterations measure ~1.5x the
+    # per-cell cost of batch-width ones (XLA stops fusing the two-hot
+    # weight builds into the conv operands at large widths), so the
+    # warm phase runs over contiguous `batch`-sized tiles instead of
+    # the whole array.  Tiling is exact for the same reason compaction
+    # is: all bookkeeping is per-cell.  The final tile is clamped to
+    # [n - batch, n): its overlap re-runs cells already processed, and
+    # extra subcycles on retired lanes are masked no-ops, while
+    # still-active overlap cells just advance earlier -- the per-cell
+    # subcycle sequence is unchanged either way.
+    n = f["density"].shape[0]
+    M = pack(carry)
+    if warm > 0:
+        if n <= batch:
+            M = pack(run(unpack(M), warm))
+        else:
+            n_tiles = -(-n // batch)
+
+            def warm_tile(i, M):
+                start = jnp.minimum(i * batch, n - batch)
+                sub = jax.lax.dynamic_slice_in_dim(M, start, batch, 0)
+                sub = pack(run(unpack(sub), warm))
+                return jax.lax.dynamic_update_slice_in_dim(
+                    M, sub, start, 0
+                )
+
+            M = jax.lax.fori_loop(0, n_tiles, warm_tile, M)
+
     # Each outer trip runs its batch for at most `chunk` subcycles
     # before returning survivors to the pool for re-sorting: a
     # mispredicted straggler then rejoins a batch of peers instead of
@@ -554,7 +581,7 @@ def solve_rate_cool_compacted(
         sub = run(unpack(M[idx]), chunk)
         return M.at[idx].set(pack(sub))
 
-    M = jax.lax.while_loop(outer_cond, outer_body, pack(carry))
+    M = jax.lax.while_loop(outer_cond, outer_body, M)
     carry = unpack(M)
     fields = finalize_fields(cfg, carry["fields"], us, imetal, comoving)
     return SolveResult(
