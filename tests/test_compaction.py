@@ -79,3 +79,28 @@ def test_compaction_respects_max_iterations(monkeypatch):
     _, diag = cd.solve_chemistry(f, 1.0e-2)
     assert int(diag["n_iterations"]) <= 5
     assert not np.all(np.asarray(diag["converged"]))
+
+
+def test_compaction_overlapped_final_tile(monkeypatch):
+    """n not a multiple of the batch: the warm phase's final tile is
+    clamped to [n - batch, n), re-running overlap cells.  Extra warm
+    subcycles on retired lanes are masked no-ops and still-active
+    overlap cells just advance earlier, so results (and total per-cell
+    subcycle counts) stay bit-identical to the monolithic loop."""
+    monkeypatch.setattr(api, "_COMPACT_MIN_BUCKET", 64)
+    monkeypatch.setenv("GTPU_COMPACT_BATCH", "96")
+    cd = _make_chem(solver_compaction=8)
+    n = 520  # ceil(520 / 96) = 6 tiles; last tile overlaps 56 cells
+    f = _state(n)
+    new_c, diag_c = cd.solve_chemistry(dict(f), 1.0e-4)
+
+    cd0 = _make_chem(solver_compaction=0)
+    new_m, diag_m = cd0.solve_chemistry(dict(f), 1.0e-4)
+
+    assert np.all(np.asarray(diag_c["converged"]))
+    assert np.array_equal(np.asarray(diag_c["cell_iterations"]),
+                          np.asarray(diag_m["cell_iterations"]))
+    for k in new_m:
+        np.testing.assert_array_equal(
+            np.asarray(new_c[k]), np.asarray(new_m[k]), err_msg=k
+        )
