@@ -176,7 +176,8 @@ def _solve_chemistry_core(
 # while_loop makes every cell ride along until the slowest converges.
 # solve_rate_cool_compacted runs the loop batch-wise entirely inside
 # one jit (zero host syncs): see its docstring.  _compact_batch picks
-# the largest power of two <= n/16 (floored at _COMPACT_MIN_BUCKET).
+# an absolute ~48k-cell batch clamped to n/4 (floored at
+# _COMPACT_MIN_BUCKET; GTPU_COMPACT_BATCH overrides).
 
 _COMPACT_MIN_BUCKET = 8192
 

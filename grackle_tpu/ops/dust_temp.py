@@ -157,6 +157,11 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
         _loop_env = (
             "blocked" if jax.default_backend() == "tpu" else "while"
         )
+    if _loop_env not in ("blocked", "fori", "while"):
+        raise ValueError(
+            f"GTPU_DUST_LOOP must be one of blocked|fori|while, "
+            f"got {_loop_env!r}"
+        )
     unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "8"))
 
     # A short fori "lead" block before the while (GTPU_DUST_LEAD) was a

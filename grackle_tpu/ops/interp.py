@@ -28,7 +28,7 @@ import os
 # synthesis) reproduces f32 interpolation near-exactly; HIGH (3-pass)
 # trades ~1e-6 relative interpolation error for ~2x matmul throughput.
 _LOOKUP_PRECISION = getattr(
-    __import__("jax").lax.Precision,
+    jax.lax.Precision,
     os.environ.get("GRACKLE_TPU_LOOKUP_PRECISION", "HIGH"),
 )
 
@@ -208,14 +208,13 @@ def temperature_rows(cloudy, data, log_n_h, zr, zi0, end_int, dtype):
         )
     if rank == 3:
         data = collapse_redshift(data, cloudy.par2, zr, zi0, end_int)
+    from .lookup import _pad_bins
+
     d1 = data.shape[0]
     i1, f1 = _uniform_frac(log_n_h, cloudy.par1, d1)
-    # pad the contraction axis to a multiple of 8 sublanes (odd sizes
-    # push the conv emitter off its fast path; i1 <= d1 - 2, so padded
-    # rows are never selected and contribute exact zeros)
-    d1_pad = -(-d1 // 8) * 8
-    if d1_pad != d1:
-        data = jnp.pad(data, ((0, d1_pad - d1), (0, 0)))
+    # sublane-align the contraction axis (see lookup._pad_bins;
+    # i1 <= d1 - 2, so padded rows are never selected)
+    data, d1_pad = _pad_bins(data)
     w1 = _twohot(i1, f1, d1_pad, dtype)
     return jax.lax.dot_general(
         w1, data,

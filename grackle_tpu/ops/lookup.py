@@ -21,7 +21,7 @@ import os
 # synthesis) reproduces f32 interpolation near-exactly; HIGH (3-pass)
 # trades ~1e-6 relative interpolation error for ~2x matmul throughput.
 _LOOKUP_PRECISION = getattr(
-    __import__("jax").lax.Precision,
+    jax.lax.Precision,
     os.environ.get("GRACKLE_TPU_LOOKUP_PRECISION", "HIGH"),
 )
 
@@ -37,9 +37,7 @@ _ONEHOT_SETS = frozenset(
 # weight operand needs no multi-pass splitting: (DEFAULT, HIGH) is
 # bitwise-identical to (HIGH, HIGH) for one-hot lhs (verified on
 # device) and lets the compiler skip the lhs-split passes.
-_ONEHOT_PRECISION = (
-    __import__("jax").lax.Precision.DEFAULT, _LOOKUP_PRECISION
-)
+_ONEHOT_PRECISION = (jax.lax.Precision.DEFAULT, _LOOKUP_PRECISION)
 
 
 @partial(
@@ -143,6 +141,32 @@ def lookup_all(stacked, ti: TableIndex):
     )
 
 
+def pair_matrix(stacked):
+    """(n_bins, 2K) matrix whose row j is [stacked[j], stacked[j+1]].
+    Row indices are always clamped to n_bins - 2, so the rolled wrap
+    row is never selected."""
+    return jnp.concatenate(
+        [stacked, jnp.roll(stacked, -1, axis=0)], axis=1
+    )
+
+
+def onehot_fetch(pair, idx, dtype=None):
+    """Fetch per-cell rows of ``pair`` with a one-hot MXU contraction
+    (safe inside device loops, unlike gathers).  One-hot weights are
+    exact in bf16, so _ONEHOT_PRECISION reproduces the f32 rows to the
+    rhs-split accuracy."""
+    dtype = dtype or pair.dtype
+    pair, n_pad = _pad_bins(pair)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n_pad), 1)
+    w = (iota == idx[:, None]).astype(dtype)
+    return jax.lax.dot_general(
+        w, pair,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_ONEHOT_PRECISION,
+        preferred_element_type=dtype,
+    )
+
+
 def lookup_all_onehot(stacked, ti: TableIndex):
     """lookup_all via a one-hot fetch of the bracketing (lo, hi) rows and
     an exact per-cell f32 lerp.  Halves the weight-generation VPU work
@@ -151,20 +175,7 @@ def lookup_all_onehot(stacked, ti: TableIndex):
     wider contraction output — a win for narrow table sets, a loss for
     wide ones (the MXU pass cost scales with K)."""
     k = stacked.shape[1]
-    pair = jnp.concatenate(
-        [stacked, jnp.roll(stacked, -1, axis=0)], axis=1
-    )  # (n_bins, 2K); ti.idx <= n_bins - 2, rolled last row never read
-    pair, n_pad = _pad_bins(pair)
-    iota = jax.lax.broadcasted_iota(
-        jnp.int32, (ti.idx.shape[0], n_pad), 1
-    )
-    w = (iota == ti.idx[:, None]).astype(stacked.dtype)
-    lohi = jax.lax.dot_general(
-        w, pair,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_ONEHOT_PRECISION,
-        preferred_element_type=stacked.dtype,
-    )
+    lohi = onehot_fetch(pair_matrix(stacked), ti.idx, stacked.dtype)
     return lohi[:, :k] + (lohi[:, k:] - lohi[:, :k]) * ti.tdef[:, None]
 
 
@@ -236,24 +247,7 @@ def h2dust_lookup_fused(lk: "TableLookup", h2dust_v, d_ti: TableIndex):
     compare instead of two) and more accurate (one-hot rows are exact in
     bf16, so Precision.HIGH reproduces the f32 factors to ~1e-7)."""
     u = lk.h2dust_u()  # (N, r), interpolated at the gas-T index
-    n_td, r = h2dust_v.shape
-    # (n_td, 2r): row j = [v[j], v[j+1]]; d_ti.idx <= n_td - 2, so the
-    # rolled last row is never selected
-    pair = jnp.concatenate(
-        [h2dust_v, jnp.roll(h2dust_v, -1, axis=0)], axis=1
-    )
-    pair, n_td_pad = _pad_bins(pair)
-    iota = jax.lax.broadcasted_iota(
-        jnp.int32, (d_ti.idx.shape[0], n_td_pad), 1
-    )
-    w_d = (iota == d_ti.idx[:, None]).astype(h2dust_v.dtype)
-    lohi = jax.lax.dot_general(
-        w_d, pair,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=_ONEHOT_PRECISION,
-        preferred_element_type=h2dust_v.dtype,
-    )  # (N, 2r)
-    v = lohi[:, :r] + (lohi[:, r:] - lohi[:, :r]) * d_ti.tdef[:, None]
+    v = lookup_all_onehot(h2dust_v, d_ti)  # (N, r) dust-T factors
     return 10.0 ** jnp.sum(u * v, axis=1)
 
 

@@ -74,7 +74,7 @@ def ceiling_species(cfg, f, imetal: bool):
     return out
 
 
-def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit):
+def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit, itmask):
     """High-density H2 equilibrium timestep limiter
     (solve_rate_cool_g.F:592-643): at rho > 1e8 mh with heating, limit dt
     so the k13/k22 equilibrium H abundance changes by <= 10%.
@@ -88,7 +88,10 @@ def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit):
     fh = cfg.HydrogenFractionByMass
     d = f["density"]
     tgas = cool.tgas
-    apply = (d * us.dom > 1.0e8) & (cool.edot > 0.0)
+    # itmask in the predicate: a retired-but-dense cell must not defeat
+    # the skip (dtit on retired lanes is never consumed, so this is
+    # bit-identical)
+    apply = (d * us.dom > 1.0e8) & (cool.edot > 0.0) & itmask
 
     def limited(dtit):
         dlogtem = (
@@ -107,21 +110,10 @@ def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit):
             # -- ~30% of the whole subcycle on v5e.)  One-hot weights
             # are exact in bf16, so Precision.HIGH reproduces the f32
             # table values to ~1e-7.
-            from .lookup import _ONEHOT_PRECISION
+            from .lookup import onehot_fetch, pair_matrix
 
-            quad = jnp.stack(
-                [k13a, k22a,
-                 jnp.roll(k13a, -1), jnp.roll(k22a, -1)], axis=1
-            )  # (n_bins, 4): lo13, lo22, hi13, hi22 per row
-            iota = jax.lax.broadcasted_iota(
-                jnp.int32, (ti.idx.shape[0], quad.shape[0]), 1
-            )
-            w = (iota == ti.idx[:, None]).astype(quad.dtype)
-            vals = jax.lax.dot_general(
-                w, quad, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=_ONEHOT_PRECISION,
-                preferred_element_type=quad.dtype,
-            )
+            pair = pair_matrix(jnp.stack([k13a, k22a], axis=1))
+            vals = onehot_fetch(pair, ti.idx)
             lo13, lo22, hi13, hi22 = (
                 vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
             )
@@ -317,7 +309,7 @@ def run_subcycles(
             )
             if ispecies > 1:
                 dtit = _h2_equilibrium_dt(
-                    cfg, tables, rs, cool, f, us, dtit
+                    cfg, tables, rs, cool, f, us, dtit, itmask
                 )
             # NOTE: the reference's iter>10 anti-ringing clamp
             # (solve_rate_cool_g.F:644-646) compares against a dtit that
@@ -561,7 +553,14 @@ def solve_rate_cool_compacted(
     # holding `batch - 1` near-idle lanes to its own convergence.
     # chunk = max_iterations (the default) disables re-chunking.
     chunk_env = os.environ.get("GTPU_COMPACT_CHUNK")
-    chunk = int(chunk_env) if chunk_env else cfg.max_iterations
+    try:
+        chunk = int(chunk_env) if chunk_env else 0
+    except ValueError as exc:
+        raise ValueError(
+            f"GTPU_COMPACT_CHUNK must be an integer, got {chunk_env!r}"
+        ) from exc
+    if chunk <= 0:  # 0 = off, matching the other GTPU_* knobs
+        chunk = cfg.max_iterations
 
     def outer_cond(M):
         return jnp.any(M[:, mask_col] > 0)

@@ -32,8 +32,7 @@ def time_variant(name, **overrides):
     cd = ge._make_context(chem=overrides.pop("chem", 3), precision=32)
     for k, v in overrides.pop("params", {}).items():
         setattr(cd, k, v)
-    if overrides.pop("reinit", False) or True:
-        assert cd.initialize() == 1
+    assert cd.initialize() == 1
     ctx = cd.context
     cfg = ctx.config
     from grackle_tpu.ops.common import solver_dtype

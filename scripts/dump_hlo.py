@@ -50,11 +50,10 @@ ops = Counter()
 in_body = False
 for line in txt.splitlines():
     s = line.strip()
-    if s.startswith("%") or " = " in s:
-        if " = " in s:
-            rhs = s.split(" = ", 1)[1]
-            op = rhs.split("(", 1)[0].split(" ")[-1].split(".")[0]
-            ops[op.rstrip("0123456789-")] += 1
+    if " = " in s:
+        rhs = s.split(" = ", 1)[1]
+        op = rhs.split("(", 1)[0].split(" ")[-1].split(".")[0]
+        ops[op.rstrip("0123456789-")] += 1
 print(f"wrote {OUT} ({len(txt)} bytes)")
 for op, c in ops.most_common(25):
     print(f"  {op:28s} {c}")
