@@ -297,6 +297,68 @@ CALC_IMPL(dust_temperature)
 
 #undef CALC_IMPL
 
+/* --- dynamic parameter API (grackle: src/clib/dynamic_api.c:35-116):
+ * string-keyed typed field access over the generated name/type/offset
+ * table (the analogue of the reference's X-macro offsetof table), plus
+ * per-type name enumeration for serialization. --- */
+
+#include <cstddef>
+#include "params_access.inc"
+
+static void *param_lookup(chemistry_data *my_chemistry,
+                          const char *param_name, int type) {
+  if (my_chemistry == nullptr || param_name == nullptr) return nullptr;
+  const size_t n = sizeof(gtpu_param_table) / sizeof(gtpu_param_table[0]);
+  for (size_t i = 0; i < n; i++) {
+    if (gtpu_param_table[i].type == type &&
+        std::strcmp(gtpu_param_table[i].name, param_name) == 0) {
+      return reinterpret_cast<char *>(my_chemistry) +
+             gtpu_param_table[i].offset;
+    }
+  }
+  return nullptr;
+}
+
+static const char *param_name_by_type(int type, unsigned long i) {
+  const size_t n = sizeof(gtpu_param_table) / sizeof(gtpu_param_table[0]);
+  unsigned long seen = 0;
+  for (size_t j = 0; j < n; j++) {
+    if (gtpu_param_table[j].type == type) {
+      if (seen == i) return gtpu_param_table[j].name;
+      seen++;
+    }
+  }
+  return nullptr;
+}
+
+int *local_chemistry_data_access_int(chemistry_data *my_chemistry,
+                                     const char *param_name) {
+  return static_cast<int *>(param_lookup(my_chemistry, param_name, 0));
+}
+
+double *local_chemistry_data_access_double(chemistry_data *my_chemistry,
+                                           const char *param_name) {
+  return static_cast<double *>(param_lookup(my_chemistry, param_name, 1));
+}
+
+const char **local_chemistry_data_access_string(
+    chemistry_data *my_chemistry, const char *param_name) {
+  return static_cast<const char **>(
+      param_lookup(my_chemistry, param_name, 2));
+}
+
+const char *param_name_int(unsigned long i) {
+  return param_name_by_type(0, i);
+}
+
+const char *param_name_double(unsigned long i) {
+  return param_name_by_type(1, i);
+}
+
+const char *param_name_string(unsigned long i) {
+  return param_name_by_type(2, i);
+}
+
 int local_free_chemistry_data(chemistry_data *my_chemistry,
                               chemistry_data_storage *my_rates) {
   (void)my_chemistry;

@@ -83,3 +83,26 @@ def test_cxx_omp_example_builds_and_runs(tmp_path):
                        timeout=600, env=env)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "CXX_OMP_EXAMPLE_SUCCESS" in r.stdout
+
+
+@pytest.mark.skipif(not _have_toolchain(), reason="no C toolchain")
+def test_dynamic_api_example_builds_and_runs(tmp_path):
+    """The C dynamic parameter API (string-keyed access + name
+    enumeration; grackle.h:41-50) must round-trip every registered
+    parameter.  Pure C, no embedded interpreter needed."""
+    r = subprocess.run(["make"], cwd=CLIB, capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    exe = str(tmp_path / "dynapi_example")
+    r = subprocess.run(
+        ["gcc", "-I" + os.path.join(CLIB, "include"),
+         os.path.join(EXAMPLES, "dynamic_api_example.c"),
+         "-L" + CLIB, "-lgrackle_tpu", "-Wl,-rpath," + CLIB,
+         "-o", exe],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run([exe], capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "DYNAPI_EXAMPLE_SUCCESS" in r.stdout
