@@ -374,6 +374,28 @@ int local_free_chemistry_data(chemistry_data *my_chemistry,
   return GRACKLE_TPU_SUCCESS;
 }
 
+/* Units helpers (grackle: src/clib/grackle_units.c:24-42); pure C,
+ * same formulas as grackle_tpu.units. */
+
+double get_velocity_units(const code_units *my_units) {
+  double velocity_units = my_units->length_units / my_units->time_units;
+  if (my_units->comoving_coordinates == 1) {
+    velocity_units /= my_units->a_value;
+  }
+  return velocity_units;
+}
+
+void set_velocity_units(code_units *my_units) {
+  my_units->velocity_units = get_velocity_units(my_units);
+}
+
+double get_temperature_units(const code_units *my_units) {
+  const double mh = 1.67262171e-24;     /* phys_constants.h */
+  const double kboltz = 1.3806504e-16;
+  double v = get_velocity_units(my_units);
+  return mh * v * v / kboltz;
+}
+
 grackle_version get_grackle_version(void) {
   grackle_version v;
   v.version = "0.1.0";
