@@ -126,6 +126,25 @@ module grackle_tpu_fortran
        type(grackle_tpu_field_data), intent(inout) :: my_fields
        type(c_ptr), value :: dust_temperature
      end function calculate_dust_temperature
+
+     ! units helpers (grackle_fortran_interface.def:147-167)
+     real(c_double) function get_velocity_units(my_units) &
+          bind(C, name='get_velocity_units')
+       import
+       type(grackle_tpu_units), intent(in) :: my_units
+     end function get_velocity_units
+
+     subroutine set_velocity_units(my_units) &
+          bind(C, name='set_velocity_units')
+       import
+       type(grackle_tpu_units), intent(inout) :: my_units
+     end subroutine set_velocity_units
+
+     real(c_double) function get_temperature_units(my_units) &
+          bind(C, name='get_temperature_units')
+       import
+       type(grackle_tpu_units), intent(in) :: my_units
+     end function get_temperature_units
   end interface
 
 end module grackle_tpu_fortran
