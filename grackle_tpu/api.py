@@ -218,6 +218,31 @@ def _solve_chemistry_core_compact(
             result.cell_iterations)
 
 
+@partial(jax.jit, static_argnames=("cfg", "imetal", "comoving"))
+def _solve_chemistry_core_exact(
+    cfg, cloudy_prim, cloudy_met, us, pr, fields, dt, imetal, comoving,
+):
+    """Exact-integration tabulated cooling (ops/exact_cool.py): one
+    closed-form pass instead of the subcycle loop."""
+    from .ops import exact_cool as _exact
+
+    f = dict(fields)
+    if comoving:
+        f = _solver.scale_fields(cfg, f, us.aye**-3, imetal)
+    new_energy = _exact.exact_cool_step(
+        cfg, cloudy_prim, cloudy_met, pr, us, f, dt, imetal
+    )
+    out = dict(fields)
+    out["energy"] = new_energy
+    n = fields["density"].shape[0]
+    return (
+        out,
+        jnp.int32(1),
+        jnp.ones((n,), dtype=bool),
+        jnp.ones((n,), dtype=jnp.int32),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "imetal", "cloudy_data_new", "comoving"),
@@ -324,7 +349,12 @@ def solve_chemistry(ctx: GrackleContext, fields, dt,
     # overflow the f32-pair representation and NaN when traced).
     us = make_unit_scalars(cfg, ctx.tables, ctx.units, grid_dx)
     pr = _photo_rates(cfg, ctx.tables, ctx.uvb, ctx.units)
-    if (cfg.solver_compaction > 0
+    if cfg.exact_cooling == 1 and cfg.with_radiative_cooling == 1:
+        new_f, n_iter, converged, cell_iter = _solve_chemistry_core_exact(
+            cfg, ctx.cloudy_primordial, ctx.cloudy_metal,
+            us, pr, f, jnp.asarray(dt, dtype), imetal, comoving,
+        )
+    elif (cfg.solver_compaction > 0
             and n >= 4 * _COMPACT_MIN_BUCKET):
         new_f, n_iter, converged, cell_iter = _solve_chemistry_core_compact(
             cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,

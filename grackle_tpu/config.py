@@ -112,6 +112,15 @@ PARAMETER_REGISTRY: Dict[str, Tuple[type, Any]] = {
     # the driver also auto-disables below 4*8192 cells where batching
     # overhead would dominate.
     "solver_compaction": (int, 20),
+    # Extension (no reference analogue): exact-integration radiative
+    # cooling for tabulated mode (primordial_chemistry=0).  Replaces the
+    # subcycled energy integration with the closed-form Townsend (2009)
+    # temporal-evolution-function scheme on the Cloudy temperature grid
+    # (ops/exact_cool.py).  Requires a cooling-only configuration:
+    # UVbackground, radiative transfer, user heating arrays,
+    # photoelectric heating, and dust must all be off (validated at
+    # initialize).
+    "exact_cooling": (int, 0),
     "max_iterations": (int, 10000),
     "exit_after_iterations_exceeded": (int, 0),
     # Analogue of omp_nthreads: number of host threads used by the async
@@ -160,6 +169,25 @@ def resolve_config(cfg: "ChemistryConfig") -> "ChemistryConfig":
         # Tabulated mode: H fraction forced to Cloudy's n_He/n_H = 0.1
         # abundance (initialize_chemistry_data.c:129-136).
         updates["HydrogenFractionByMass"] = 1.0 / (1.0 + 0.1 * 3.971)
+    if cfg.exact_cooling == 1:
+        # exact-integration tabulated cooling: cooling-only scope
+        if cfg.primordial_chemistry != 0:
+            raise ValueError(
+                "exact_cooling = 1 requires primordial_chemistry = 0 "
+                "(tabulated mode)."
+            )
+        bad = [name for name in (
+            "UVbackground", "use_radiative_transfer",
+            "use_volumetric_heating_rate", "use_specific_heating_rate",
+            "dust_chemistry",
+        ) if getattr(cfg, name)]
+        if cfg.photoelectric_heating > 0:
+            bad.append("photoelectric_heating")
+        if bad:
+            raise ValueError(
+                "exact_cooling = 1 is a cooling-only scheme; disable: "
+                + ", ".join(bad)
+            )
     if updates:
         cfg = dataclasses.replace(cfg, **updates)
     return cfg
