@@ -180,3 +180,29 @@ def test_exact_cooling_scope_validation(data_file):
     cd2.time_units = 3.1556952e13
     with pytest.raises(ValueError, match="cooling-only"):
         cd2.initialize()
+
+
+def test_exact_one_shot_matches_refined_integration(data_file):
+    """One exact step over dt must match a 200x-refined subcycled
+    integration of the same interval to ~1e-5 — i.e. the closed-form
+    step carries no visible integration error at a step size where it
+    does the work of hundreds of subcycles.  (The refined reference
+    shares the subcycled path's table conventions, so the residual
+    median ~1e-5 reflects convention differences, not step error —
+    the one-step subcycled run lands at the same distance.)"""
+    dt = 2.0e-3
+    n_truth = 200
+
+    cd, fc = _tab_setup(data_file, exact=0, n=128)
+    for _ in range(n_truth):
+        fc.solve_chemistry(dt / n_truth)
+    truth = np.asarray(fc["energy"]).copy()
+
+    cd, fc = _tab_setup(data_file, exact=1, n=128)
+    fc.solve_chemistry(dt)
+    err = np.abs(np.asarray(fc["energy"]) - truth) / np.abs(truth)
+    assert np.median(err) < 5.0e-5
+    # fast coolers traverse many bins where the two schemes' table
+    # conventions (half-step log-T lookups vs node power laws) diverge
+    assert np.percentile(err, 90) < 5.0e-3
+    assert np.max(err) < 5.0e-2  # floor-hitting cells: bin resolution
