@@ -297,45 +297,64 @@ def _prep_fields(ctx, fields):
     return f, imetal
 
 
-def sobolev_shield_length(density_grid, grid_dx, us_dom_unused, xbase1,
-                          dx_cgs):
-    """Precompute the Sobolev-like H2-shielding length for
-    H2_self_shielding == 1 from the 3-D density stencil
-    (solve_rate_cool_g.F:1418-1434).  Returns a flat array matching the
-    raveled grid."""
+def sobolev_shield_length(density_grid, xbase1, dx_cgs):
+    """Sobolev-like H2-shielding length for H2_self_shielding == 1 from
+    the 6-point 3-D density stencil (solve_rate_cool_g.F:1418-1434).
+
+    Operates on the FULL grid (ghost zones included), so boundary cells
+    of the active region read their real ghost-zone neighbors, exactly
+    like the reference's d(i±1,j,k) loads.  At a true array edge the
+    missing neighbor is edge-replicated, giving diff = 0 which the
+    reference's "only drho/ds < 0 directions" rule excludes — i.e. a
+    one-sided stencil.  Returns a grid-shaped array; callers slice the
+    active region and ravel.
+    """
     d = density_grid
+    dp = jnp.pad(d, 1, mode="edge")
+    inner = [slice(1, -1)] * 3
     divrho = jnp.full_like(d, 1.0e-20)
     for axis in range(3):
-        for shift in (1, -1):
-            neighbor = jnp.roll(d, shift, axis=axis)
-            diff = neighbor - d
+        for lo in (False, True):
+            sl = list(inner)
+            sl[axis] = slice(0, -2) if lo else slice(2, None)
+            diff = dp[tuple(sl)] - d
             divrho = divrho + jnp.where(diff < 0.0, diff, 0.0)
-    l_shield = jnp.minimum(dx_cgs * d / jnp.abs(divrho), xbase1)
-    return l_shield.reshape(-1)
+    return jnp.minimum(dx_cgs * d / jnp.abs(divrho), xbase1)
 
 
 def solve_chemistry(ctx: GrackleContext, fields, dt,
-                    grid_dx: float = 0.0, grid_shape=None):
+                    grid_dx: float = 0.0, grid_shape=None,
+                    l_h2shield=None):
     """Advance chemistry + energy by dt (grackle.h:64, solve_chemistry.c).
 
     fields: dict of flat arrays (code units).  Returns (new_fields dict,
     diagnostics dict with n_iterations and converged mask).
+
+    l_h2shield: optional precomputed per-cell shielding length (cgs) for
+    H2_self_shielding == 1 — used by the grid entry points, which must
+    evaluate the density stencil on the full grid including ghost zones
+    before slicing the active region (solve_rate_cool_g.F:1420-1434).
     """
     cfg = ctx.config
     f, imetal = _prep_fields(ctx, fields)
     l_h2 = None
     if cfg.H2_self_shielding == 1:
-        if grid_shape is None or len(grid_shape) != 3:
+        if l_h2shield is not None:
+            from .ops.common import solver_dtype as _sd
+
+            l_h2 = jnp.asarray(l_h2shield, dtype=_sd(cfg)).reshape(-1)
+        elif grid_shape is None or len(grid_shape) != 3:
             raise ValueError(
                 "H2_self_shielding option 1 requires a 3-D grid_shape "
                 "(solve_chemistry.c:157-165); use option 2 to provide "
                 "shielding lengths or option 3 for the Jeans length."
             )
-        us = make_unit_scalars(cfg, ctx.tables, ctx.units, grid_dx)
-        d_grid = f["density"].reshape(grid_shape)
-        l_h2 = sobolev_shield_length(
-            d_grid, grid_dx, us.dom, us.xbase1, us.dx_cgs
-        )
+        else:
+            us = make_unit_scalars(cfg, ctx.tables, ctx.units, grid_dx)
+            d_grid = f["density"].reshape(grid_shape)
+            l_h2 = sobolev_shield_length(
+                d_grid, us.xbase1, us.dx_cgs
+            ).reshape(-1)
     from .ops.common import solver_dtype
 
     dtype = solver_dtype(cfg)
@@ -410,17 +429,23 @@ def solve_chemistry_grid(ctx: GrackleContext, fields, dt,
             continue
         flat[key] = np.asarray(val)[sl].reshape(-1)
 
-    grid_shape = None
+    l_h2 = None
     if ctx.config.H2_self_shielding == 1:
         if rank != 3:
             raise ValueError(
                 "H2_self_shielding option 1 requires 3-D grids"
             )
-        # shielding lengths come from the full-grid density stencil
-        grid_shape = tuple(s.stop - s.start for s in sl)
-        # note: the stencil wraps at active-region edges (periodic);
-        # matching the reference's interior behavior for interior cells
-    new_flat, diag = solve_chemistry(ctx, flat, dt, grid_dx, grid_shape)
+        # stencil on the FULL grid (ghost zones included), then slice to
+        # the active region — reference semantics: boundary active cells
+        # read real ghost-zone neighbor densities
+        # (solve_rate_cool_g.F:1420-1434)
+        us = make_unit_scalars(ctx.config, ctx.tables, ctx.units, grid_dx)
+        d_full = jnp.asarray(np.asarray(fields["density"]))
+        l_h2 = sobolev_shield_length(
+            d_full, us.xbase1, us.dx_cgs
+        )[sl].reshape(-1)
+    new_flat, diag = solve_chemistry(ctx, flat, dt, grid_dx,
+                                     l_h2shield=l_h2)
 
     out = {}
     for key, val in fields.items():
@@ -604,9 +629,10 @@ class ChemistryData:
         self.refresh_units()
         return self._context
 
-    def solve_chemistry(self, fields, dt, grid_dx=0.0, grid_shape=None):
+    def solve_chemistry(self, fields, dt, grid_dx=0.0, grid_shape=None,
+                        l_h2shield=None):
         return solve_chemistry(self._require_context(), fields, dt,
-                               grid_dx, grid_shape)
+                               grid_dx, grid_shape, l_h2shield)
 
     def calculate_cooling_time(self, fields):
         return calculate_cooling_time(self._require_context(), fields)

@@ -147,11 +147,30 @@ def solve_chemistry(handle: int, units: dict, grid: dict,
     n, sel = _active_slice(grid["grid_rank"], grid["grid_dimension"],
                            grid["grid_start"], grid["grid_end"])
     fields, views = _gather_fields(field_ptrs, n, itemsize, sel)
-    grid_shape = (tuple(grid["grid_dimension"])
-                  if cd.H2_self_shielding == 1 else None)
+    grid_shape = None
+    l_h2 = None
+    if cd.H2_self_shielding == 1:
+        # Sobolev stencil on the FULL grid (ghost zones included), then
+        # slice to the active cells — boundary active cells must read
+        # real ghost-zone neighbor densities
+        # (solve_rate_cool_g.F:1420-1434).
+        dims = list(grid["grid_dimension"])
+        if sel is None:
+            grid_shape = tuple(dims[::-1])  # C order: (k, j, i)
+        else:
+            from .api import sobolev_shield_length
+            from .ops.common import make_unit_scalars
+
+            ctx = cd._require_context()  # refreshes units
+            us = make_unit_scalars(ctx.config, ctx.tables, ctx.units,
+                                   grid.get("grid_dx", 0.0))
+            d_full = views["density"].reshape(dims[::-1])
+            l_h2 = np.asarray(sobolev_shield_length(
+                d_full, us.xbase1, us.dx_cgs
+            )).reshape(-1)[sel]
     new_f, _ = cd.solve_chemistry(
         fields, dt, grid_dx=grid.get("grid_dx", 0.0),
-        grid_shape=grid_shape,
+        grid_shape=grid_shape, l_h2shield=l_h2,
     )
     # write evolved species + energy back into the caller's memory
     inv_map = {v: k for k, v in _NAME_MAP.items()}
