@@ -634,6 +634,11 @@ class ChemistryData:
         return solve_chemistry(self._require_context(), fields, dt,
                                grid_dx, grid_shape, l_h2shield)
 
+    def solve_chemistry_grid(self, fields, dt, grid_start=None,
+                             grid_end=None, grid_dx=0.0):
+        return solve_chemistry_grid(self._require_context(), fields, dt,
+                                    grid_start, grid_end, grid_dx)
+
     def calculate_cooling_time(self, fields):
         return calculate_cooling_time(self._require_context(), fields)
 

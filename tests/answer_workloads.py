@@ -123,6 +123,80 @@ def workload_12species_dust():
     return out
 
 
+# -- config 5: the full grid workload (BASELINE config #5, scaled from
+#    256^3 to 32^3): 3-D grid with asymmetric ghost zones, user
+#    volumetric + specific heating arrays, H2 self-shielding from the
+#    full-grid Sobolev stencil, solve + every derived field.
+
+GRID_SHAPE = (32, 32, 32)
+GRID_START = (3, 2, 1)
+GRID_END = (28, 29, 30)  # inclusive; active region = 26 x 28 x 30
+
+
+def grid_full_setup(seed=11):
+    """(cd, grid fields, active-region slice) for the config-5 workload;
+    ghost zones hold seeded garbage that must pass through untouched."""
+    cd = _base_chem(
+        primordial_chemistry=3, metal_cooling=1, dust_chemistry=1,
+        UVbackground=1, H2_self_shielding=1,
+        use_volumetric_heating_rate=1, use_specific_heating_rate=1,
+        grackle_data_file=_data_file(),
+    )
+    rng = np.random.RandomState(seed)
+    tiny = 1e-20
+    shape = GRID_SHAPE
+    sl = tuple(slice(s, e + 1) for s, e in zip(GRID_START, GRID_END))
+
+    # every array starts as garbage; the active region is overwritten
+    f = {}
+    names = ["density", "HI", "HII", "HeI", "HeII", "HeIII", "de",
+             "HM", "H2I", "H2II", "DI", "DII", "HDI", "metal",
+             "energy", "volumetric_heating_rate",
+             "specific_heating_rate"]
+    for name in names:
+        f[name] = 10.0 ** rng.uniform(-2, 2, shape)
+
+    d = 10.0 ** rng.uniform(-1, 2, shape)
+    f["density"][sl] = d[sl]
+    f["HI"][sl] = 0.5 * 0.76 * d[sl]
+    f["HII"][sl] = 0.5 * 0.76 * d[sl]
+    f["HeI"][sl] = 0.24 * d[sl]
+    for k in ("HeII", "HeIII", "HM", "H2II", "DII", "HDI"):
+        f[k][sl] = tiny
+    f["H2I"][sl] = 1e-5 * d[sl]
+    f["DI"][sl] = 2.0 * 3.4e-5 * d[sl]
+    f["de"][sl] = f["HII"][sl]
+    f["metal"][sl] = 1e-3 * d[sl]
+    # physical heating magnitudes: volumetric ~ 1e-27 n_H^2 erg/s/cm^3,
+    # specific 1e-3 erg/s/g (cool1d_multi_g.F:780-794 channels)
+    nH = 0.76 * d[sl]
+    f["volumetric_heating_rate"][sl] = 1e-27 * nH ** 2
+    f["specific_heating_rate"][sl] = 1e-3
+    T = 10.0 ** rng.uniform(3.5, 6.5, shape)
+    f["energy"][sl] = (T[sl] / cd.temperature_units / 0.8
+                       / (cd.Gamma - 1.0))
+    return cd, f, sl
+
+
+def workload_grid_full():
+    """Config 5: 32^3 grid + ghost zones + heating arrays + solve +
+    cooling_time/temperature/pressure/gamma/dust_temperature."""
+    cd, f, sl = grid_full_setup()
+    new_f, diag = cd.solve_chemistry_grid(
+        f, 1.0e-4, grid_start=GRID_START, grid_end=GRID_END,
+        grid_dx=1.0e-3,
+    )
+    assert bool(np.all(np.asarray(diag["converged"])))
+    active = {k: np.asarray(v)[sl].reshape(-1) for k, v in new_f.items()}
+    out = {k: active[k] for k in ["HI", "H2I", "HDI", "de", "energy"]}
+    out["cooling_time"] = cd.calculate_cooling_time(active)
+    out["temperature"] = cd.calculate_temperature(active)
+    out["pressure"] = cd.calculate_pressure(active)
+    out["gamma"] = cd.calculate_gamma(active)
+    out["dust_temperature"] = cd.calculate_dust_temperature(active)
+    return out
+
+
 def workload_rate_tables():
     """Rate-coefficient regression (analogue of the reference's
     test_initialisation.py:40-183 + stored rate_coefficients.h5,
@@ -162,6 +236,7 @@ WORKLOADS = {
     "6species": workload_6species,
     "9species_shield": workload_9species_shield,
     "12species_dust": workload_12species_dust,
+    "grid_full": workload_grid_full,
     "rate_tables": workload_rate_tables,
 }
 
