@@ -19,7 +19,7 @@
 
 int grackle_verbose = 0;
 chemistry_data *grackle_data = nullptr;
-static chemistry_data_storage grackle_rates_global = {0};
+chemistry_data_storage grackle_rates = {0};  /* grackle.h:22 global tier */
 
 static std::mutex g_mutex;
 
@@ -245,7 +245,7 @@ int local_initialize_chemistry_data(chemistry_data *my_chemistry,
 int initialize_chemistry_data(code_units *my_units) {
   if (grackle_data == nullptr) return GRACKLE_TPU_FAIL;
   return local_initialize_chemistry_data(
-      grackle_data, &grackle_rates_global, my_units);
+      grackle_data, &grackle_rates, my_units);
 }
 
 int local_solve_chemistry(chemistry_data *my_chemistry,
@@ -265,7 +265,7 @@ int local_solve_chemistry(chemistry_data *my_chemistry,
 
 int solve_chemistry(code_units *my_units, grackle_field_data *my_fields,
                     double dt_value) {
-  return local_solve_chemistry(grackle_data, &grackle_rates_global,
+  return local_solve_chemistry(grackle_data, &grackle_rates,
                                my_units, my_fields, dt_value);
 }
 
@@ -285,7 +285,7 @@ int solve_chemistry(code_units *my_units, grackle_field_data *my_fields,
   }                                                                       \
   int calculate_##name(code_units *my_units,                              \
                        grackle_field_data *my_fields, gr_float *out) {    \
-    return local_calculate_##name(grackle_data, &grackle_rates_global,   \
+    return local_calculate_##name(grackle_data, &grackle_rates,   \
                                   my_units, my_fields, out);              \
   }
 
