@@ -17,8 +17,15 @@ from .sharding import CELL_AXIS, make_cell_mesh
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
-    """Initialize jax.distributed for a multi-host run (no-op if already
-    initialized or single-process)."""
+    """Initialize jax.distributed for a multi-host run.
+
+    No-op for a single-process run (no coordinator given and no
+    auto-detectable cluster) and when already initialized; returns
+    (process_count, process_index) either way.
+    """
+    if coordinator_address is None and num_processes in (None, 1):
+        # single-process: nothing to coordinate
+        return jax.process_count(), jax.process_index()
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
