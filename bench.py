@@ -12,6 +12,7 @@ pinned CPU core (the reference is a single-threaded-per-core OpenMP CPU
 code, so one CPU core is the baseline unit).
 """
 
+import argparse
 import json
 import os
 import subprocess
@@ -20,6 +21,9 @@ import time
 
 N_TPU = int(os.environ.get("BENCH_N", 1_048_576))
 N_CPU = int(os.environ.get("BENCH_N_CPU", 16_384))
+# f64 runs through the TPU backend's software-emulated doubles (~300x
+# slower than f32); a smaller N keeps the parity datapoint cheap
+N_F64 = int(os.environ.get("BENCH_N_F64", 32_768))
 DT = 1.0e-4  # Myr, in the bench unit system
 CHEM = 3
 # float32 is the TPU-native production mode (v5e has no hardware f64); it
@@ -27,13 +31,15 @@ CHEM = 3
 PRECISION = int(os.environ.get("BENCH_PRECISION", 32))
 
 
-def _run_solve(n, repeats=3):
+def _run_solve(n, repeats=3, precision=None):
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
 
-    cd = ge._make_context(chem=CHEM, precision=PRECISION)
+    cd = ge._make_context(
+        chem=CHEM, precision=PRECISION if precision is None else precision
+    )
     fields = {
         k: jnp.asarray(v) for k, v in ge._make_fields(cd, n).items()
     }
@@ -58,8 +64,9 @@ def _run_solve(n, repeats=3):
     return n / best, n_iter, best
 
 
-def _cpu_baseline():
+def _cpu_baseline(precision=None):
     """Measure this solver on one pinned CPU core in a subprocess."""
+    prec = PRECISION if precision is None else precision
     code = (
         "import os\n"
         "os.sched_setaffinity(0, {0})\n"
@@ -70,7 +77,8 @@ def _cpu_baseline():
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
         "import bench\n"
-        f"rate, n_iter, t = bench._run_solve({N_CPU}, repeats=2)\n"
+        f"rate, n_iter, t = bench._run_solve({N_CPU}, repeats=2, "
+        f"precision={prec})\n"
         "print('CPU_RATE', rate)\n"
     )
     try:
@@ -89,21 +97,46 @@ def _cpu_baseline():
 
 
 def main():
-    rate, n_iter, t = _run_solve(N_TPU)
-    cpu_rate = _cpu_baseline()
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--precision", type=int, choices=[32, 64], default=PRECISION,
+        help="headline metric precision (the reference's "
+             "CONFIG_PRECISION=32/64 analogue)",
+    )
+    parser.add_argument(
+        "--no-f64-detail", action="store_true",
+        help="skip the secondary on-device f64 datapoint",
+    )
+    args = parser.parse_args()
+    precision = args.precision
+
+    n_head = N_TPU if precision == 32 else N_F64
+    rate, n_iter, t = _run_solve(n_head, precision=precision)
+    cpu_rate = _cpu_baseline(precision=precision)
     vs = rate / cpu_rate if cpu_rate else None
+    detail = {
+        "n_cells": n_head,
+        "subcycles": n_iter,
+        "wall_s": t,
+        "cpu_core_cells_per_s": cpu_rate,
+    }
+    if precision == 32 and not args.no_f64_detail:
+        # on-device double precision datapoint (the reference's
+        # CONFIG_PRECISION=64 build, Make.config.settings:23); f64 is
+        # software-emulated on the TPU backend
+        f64_rate, f64_iter, f64_t = _run_solve(
+            N_F64, repeats=2, precision=64
+        )
+        detail["f64_cells_per_s"] = f64_rate
+        detail["f64_n_cells"] = N_F64
+        detail["f64_subcycles"] = f64_iter
     result = {
         "metric": "cells/sec/chip solve_chemistry "
-                  f"(12-species + metals + dust, f{PRECISION})",
+                  f"(12-species + metals + dust, f{precision})",
         "value": rate,
         "unit": "cells/s",
         "vs_baseline": vs,
-        "detail": {
-            "n_cells": N_TPU,
-            "subcycles": n_iter,
-            "wall_s": t,
-            "cpu_core_cells_per_s": cpu_rate,
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 
