@@ -1,8 +1,13 @@
-"""Run every Python example as a subprocess and sanity-check its output
-(analogue of grackle: src/python/tests/test_examples.py:43-104, which
-runs the examples and compares their products to stored answers; here
-the products are validated structurally and the solver outputs are
-covered by tests/test_answers.py)."""
+"""Run every Python example as a subprocess, sanity-check its output,
+and compare the produced arrays against stored answers at rtol 1e-6
+(the analogue of grackle: src/python/tests/test_examples.py:43-104,
+which runs the examples and compares their products to stored answers
+at the same tolerance).
+
+Regenerate the stored outputs after an intentional physics change with
+
+    GTPU_REGEN_ANSWERS=1 python -m pytest tests/test_python_examples.py
+"""
 
 import os
 import subprocess
@@ -13,6 +18,31 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(REPO, "examples")
+ANSWER_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "answers", "examples")
+
+
+def _check_answer(tag, npz_path):
+    """Compare every array the example wrote against the stored answer
+    (or store it when GTPU_REGEN_ANSWERS=1)."""
+    out = np.load(npz_path)
+    stored_path = os.path.join(ANSWER_DIR, tag + ".npz")
+    if os.environ.get("GTPU_REGEN_ANSWERS"):
+        os.makedirs(ANSWER_DIR, exist_ok=True)
+        np.savez(stored_path, **{k: out[k] for k in out.files})
+        return out
+    if not os.path.exists(stored_path):
+        pytest.fail(
+            f"no stored answer {stored_path}; regenerate with "
+            "GTPU_REGEN_ANSWERS=1"
+        )
+    stored = np.load(stored_path)
+    assert sorted(stored.files) == sorted(out.files), tag
+    for key in stored.files:
+        np.testing.assert_allclose(
+            out[key], stored[key], rtol=1e-6, err_msg=f"{tag}/{key}",
+        )
+    return out
 
 
 def _run(name, tmp_path, env_extra=None, timeout=900):
@@ -42,7 +72,8 @@ def _run(name, tmp_path, env_extra=None, timeout=900):
 def test_cooling_rate_example(tmp_path, chem):
     _run("cooling_rate.py", tmp_path,
          {"PRIMORDIAL_CHEM": str(chem)})
-    out = np.load(tmp_path / "cooling_rate.npz")
+    out = _check_answer(f"cooling_rate_chem{chem}",
+                        tmp_path / "cooling_rate.npz")
     T = out["temperature"]
     rate = out["cooling_rate"]
     assert T.shape == rate.shape
@@ -56,7 +87,7 @@ def test_cooling_rate_example(tmp_path, chem):
 
 def test_cooling_cell_example(tmp_path):
     _run("cooling_cell.py", tmp_path)
-    out = np.load(tmp_path / "cooling_cell.npz")
+    out = _check_answer("cooling_cell", tmp_path / "cooling_cell.npz")
     assert np.all(np.isfinite(out["temperature"]))
     # with radiative cooling on, the cell must cool over the run
     assert out["temperature"][-1] < out["temperature"][0]
@@ -66,7 +97,8 @@ def test_cooling_cell_example(tmp_path):
 def test_freefall_example(tmp_path, metal):
     _run("freefall.py", tmp_path,
          {"METAL_COOLING": str(metal)}, timeout=1800)
-    out = np.load(tmp_path / "freefall.npz")
+    out = _check_answer(f"freefall_metal{metal}",
+                        tmp_path / "freefall.npz")
     assert np.all(np.isfinite(out["temperature"]))
     # density must rise by orders of magnitude in the collapse
     assert out["density"][-1] > 1e3 * out["density"][0]
