@@ -121,6 +121,28 @@ PARAMETER_REGISTRY: Dict[str, Tuple[type, Any]] = {
     # photoelectric heating, and dust must all be off (validated at
     # initialize).
     "exact_cooling": (int, 0),
+    # Extension: the per-subcycle relative change limit.  The reference
+    # hard-codes 10% of de/HI/energy per subcycle
+    # (solve_rate_cool_g.F:554-718); exposing the fraction makes the
+    # integrator's accuracy tunable and testable — the subcycled
+    # trajectory's global error is first-order in this fraction
+    # (tests/test_ode_reference.py verifies convergence against a BDF
+    # integration of the same network).
+    "subcycle_accuracy": (float, 0.1),
+    # Extension: exact coupled backward-Euler solve of the stiff
+    # (DI, DII) charge-exchange pair.  The reference updates DI and DII
+    # Jacobi-style — each species' source uses the OTHER's pre-step
+    # value (solve_rate_cool_g.F:2310-2345) — so when the subcycle dt
+    # exceeds the k50/k51 charge-exchange time (no dt limiter covers D,
+    # unlike de/HI/energy) the pair hands its whole budget back and
+    # forth each subcycle instead of equilibrating: the endpoint D
+    # ionization state is O(1) wrong and depends on subcycle parity.
+    # 1 (default) = solve the 2x2 linear BE system exactly
+    # (unconditionally stable, lands on the staged equilibrium, same
+    # cost); 0 = reference-parity Jacobi update.  Validated against a
+    # BDF integration of the identical network in
+    # tests/test_ode_reference.py.
+    "deuterium_coupled_solve": (int, 1),
     "max_iterations": (int, 10000),
     "exit_after_iterations_exceeded": (int, 0),
     # Analogue of omp_nthreads: number of host threads used by the async

@@ -539,32 +539,52 @@ def step_rate(cfg, rs: RateState, f, us, dtit, rhoH):
     if ispecies > 2:
         DI, DII, HDI = f["DI"], f["DII"], f["HDI"]
         HM, H2I = f["HM"], f["H2I"]
-        scoef = (
-            k["k2"] * DII * de
-            + k["k51"] * DII * HI
-            + 2.0 * k["k55"] * HDI * HI / 3.0
-        )
-        acoef = (
-            k["k1"] * de + k["k50"] * HII
-            + k["k54"] * H2I / 2.0 + k["k56"] * HM
-            + s["k24"]
-        )
+        # DI <-> DII rate decomposition.  Per unit DI: losses to DII
+        # (ionization + charge exchange, `xfer1`) and to HDI/H2
+        # (`leak1`); per unit DII: losses to DI (`xfer2`) and to HDI
+        # (`leak2`); HDI-sourced gains c1/c2.
+        xfer1 = k["k1"] * de + k["k50"] * HII + s["k24"]
         if irt:
-            acoef = acoef + kphHI
-        DIp = (scoef * dtit + DI) / (1.0 + acoef * dtit)
+            xfer1 = xfer1 + kphHI
+        leak1 = k["k54"] * H2I / 2.0 + k["k56"] * HM
+        c1 = 2.0 * k["k55"] * HDI * HI / 3.0
+        xfer2 = k["k2"] * de + k["k51"] * HI
+        leak2 = k["k52"] * H2I / 2.0
+        c2 = 2.0 * k["k53"] * HII * HDI / 3.0
 
-        scoef = (
-            k["k1"] * DI * de
-            + k["k50"] * HII * DI
-            + 2.0 * k["k53"] * HII * HDI / 3.0
-            + s["k24"] * DI
-        )
-        if irt:
-            scoef = scoef + kphHI * DI
-        acoef = (
-            k["k2"] * de + k["k51"] * HI + k["k52"] * H2I / 2.0
-        )
-        DIIp = (scoef * dtit + DII) / (1.0 + acoef * dtit)
+        if cfg.deuterium_coupled_solve == 1:
+            # Exact BE solve of the stiff charge-exchange pair:
+            #   (1 + (xfer1+leak1) t) DIp  -        xfer2 t  DIIp = DI  + c1 t
+            #        -xfer1 t        DIp  + (1 + (xfer2+leak2) t) DIIp = DII + c2 t
+            # det = 1 + (a1+a2) t + (leak1*xfer2 + xfer1*leak2
+            #                        + leak1*leak2) t^2 >= 1, so the
+            # solve is unconditionally stable and lands on the coupled
+            # equilibrium for dt >> 1/rates — where the reference's
+            # Jacobi update (each scoef reading the OTHER species'
+            # pre-step value, solve_rate_cool_g.F:2313-2345) flips the
+            # D budget back and forth each subcycle instead (see the
+            # `deuterium_coupled_solve` registry note).
+            a1 = xfer1 + leak1
+            a2 = xfer2 + leak2
+            det = (1.0 + a1 * dtit) * (1.0 + a2 * dtit) \
+                - (xfer1 * dtit) * (xfer2 * dtit)
+            DIp = (
+                (DI + c1 * dtit) * (1.0 + a2 * dtit)
+                + xfer2 * dtit * (DII + c2 * dtit)
+            ) / det
+            DIIp = (
+                (DII + c2 * dtit) * (1.0 + a1 * dtit)
+                + xfer1 * dtit * (DI + c1 * dtit)
+            ) / det
+        else:
+            # reference-parity Jacobi update
+            scoef = xfer2 * DII + c1
+            acoef = xfer1 + leak1
+            DIp = (scoef * dtit + DI) / (1.0 + acoef * dtit)
+
+            scoef = xfer1 * DI + c2
+            acoef = xfer2 + leak2
+            DIIp = (scoef * dtit + DII) / (1.0 + acoef * dtit)
 
         scoef = 3.0 * (
             k["k52"] * DII * H2I / 2.0 / 2.0

@@ -140,7 +140,7 @@ def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit, itmask):
         heq = (-1.0 / (4.0 * k22)) * (
             k13 - jnp.sqrt(8.0 * k13 * k22 * fh * d + k13**2)
         )
-        limit = 0.1 * heq / dheq
+        limit = cfg.subcycle_accuracy * heq / dheq
         return jnp.where(apply, jnp.minimum(dtit, limit), dtit)
 
     return jax.lax.cond(
@@ -300,10 +300,11 @@ def run_subcycles(
                 jnp.minimum(jnp.abs(HIdot), jnp.abs(carry["HIdot_prev"])),
                 HIdot,
             )
+            acc = cfg.subcycle_accuracy
             dtit = jnp.minimum(
                 jnp.minimum(
-                    jnp.abs(0.1 * de / dedot),
-                    jnp.abs(0.1 * HI / HIdot),
+                    jnp.abs(acc * de / dedot),
+                    jnp.abs(acc * HI / HIdot),
                 ),
                 jnp.minimum(dt - ttot, 0.5 * dt),
             )
@@ -325,7 +326,8 @@ def run_subcycles(
         )
         edot = jnp.where(jnp.abs(edot) < tiny8, tiny8, edot)
         dtit = jnp.minimum(
-            jnp.abs(0.1 * energy / edot), jnp.minimum(dt - ttot, dtit)
+            jnp.abs(cfg.subcycle_accuracy * energy / edot),
+            jnp.minimum(dt - ttot, dtit),
         )
 
         # energy update (solve_rate_cool_g.F:754-773)
