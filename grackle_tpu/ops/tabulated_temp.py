@@ -75,8 +75,8 @@ def _fixed_point(mu_interp, cloudy, d, metal, e, temstart, gamma, utem,
     tgas0 = jnp.zeros_like(e)
     done0 = jnp.zeros(e.shape, dtype=bool)
 
-    def body(_, carry):
-        munew, tgas, done = carry
+    def body(carry):
+        i, munew, tgas, done = carry
         muold = munew
         tgas_i = jnp.maximum((gamma - 1.0) * e * munew * utem, temstart)
         log10tem = jnp.log(tgas_i) * inv_log10
@@ -87,10 +87,19 @@ def _fixed_point(mu_interp, cloudy, d, metal, e, temstart, gamma, utem,
         munew = jnp.where(done, munew, mu_damped)
         tgas = jnp.where(done, tgas, tgas_i)
         done = done | conv
-        return munew, tgas, done
+        return i + 1, munew, tgas, done
 
-    munew, tgas, done = jax.lax.fori_loop(
-        0, TI_MAX, body, (munew0, tgas0, done0)
+    # Early-exit while_loop: converged lanes are frozen by the `done`
+    # mask, so exiting once every lane has converged is bit-identical to
+    # the reference's fixed TI_MAX sweep (calc_temp1d_cloudy_g.F:128-210)
+    # — but skips the dead iterations, which matters because each one
+    # re-reads the (N, D_T) temperature rows from HBM.
+    def cond(carry):
+        i, _, _, done = carry
+        return (i < TI_MAX) & ~jnp.all(done)
+
+    _, munew, tgas, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), munew0, tgas0, done0)
     )
 
     # Metal correction applied at convergence
