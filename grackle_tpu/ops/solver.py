@@ -579,8 +579,19 @@ def solve_rate_cool_compacted(
         )
         key = jnp.where(M[:, mask_col] > 0, residual, -1.0)
         _, idx = jax.lax.top_k(key, batch)
-        sub = run(unpack(M[idx]), chunk)
-        return M.at[idx].set(pack(sub))
+        # top_k orders indices by key, which makes the row scatter's DMA
+        # pattern random: measured 6.2 ms per trip on v5e at (1M, 26).
+        # Batch composition never affects per-cell results, so sort the
+        # index set ascending and tell XLA the rows are unique and
+        # ordered -- the scatter then lowers to an in-order pass.
+        idx = jnp.sort(idx)
+        sub = run(
+            unpack(M.at[idx].get(unique_indices=True,
+                                 indices_are_sorted=True)),
+            chunk,
+        )
+        return M.at[idx].set(pack(sub), unique_indices=True,
+                             indices_are_sorted=True)
 
     M = jax.lax.while_loop(outer_cond, outer_body, M)
     carry = unpack(M)
