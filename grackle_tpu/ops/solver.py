@@ -178,14 +178,29 @@ def prepare_fields(cfg, f, us, imetal: bool, comoving: bool):
     return f, itmask0
 
 
-def init_carry(f, itmask0, l_h2shield_field=None):
-    """Build the subcycle loop carry.  All per-cell state lives here so
-    the loop can be run in chunks and compacted between chunks (the
-    converged-cell compaction optimization; see api.solve_chemistry)."""
-    d_shape = f["density"].shape
-    zeros = jnp.zeros(d_shape, dtype=f["density"].dtype)
-    carry = dict(
-        fields=dict(f),
+def split_state(cfg, f):
+    """Partition the field dict into the loop-mutable state (energy +
+    chemical species) and read-only constants (density, metal, dust,
+    velocities, RT/heating rate arrays, shielding fields).  Only the
+    state needs to live in the subcycle carry and be scattered back by
+    the compaction machinery; constants are gathered per batch but
+    never written."""
+    state_keys = set(species_names(cfg)) | {"energy"}
+    f_state = {k: v for k, v in f.items() if k in state_keys}
+    f_const = {k: v for k, v in f.items() if k not in state_keys}
+    return f_state, f_const
+
+
+def init_carry(f_state, itmask0):
+    """Build the subcycle loop carry.  All loop-MUTABLE per-cell state
+    lives here so the loop can be run in chunks and compacted between
+    chunks (the converged-cell compaction optimization; see
+    api.solve_chemistry).  Read-only fields stay outside (split_state)."""
+    ref = f_state["energy"]
+    d_shape = ref.shape
+    zeros = jnp.zeros(d_shape, dtype=ref.dtype)
+    return dict(
+        fields=dict(f_state),
         ttot=zeros,
         tgasold=zeros,
         tdust=zeros,  # warm start for the dust equilibrium solve
@@ -201,9 +216,6 @@ def init_carry(f, itmask0, l_h2shield_field=None):
         # similar remaining work (converged-cell compaction)
         dtit_prev=zeros,
     )
-    if l_h2shield_field is not None:
-        carry["l_h2shield"] = l_h2shield_field
-    return carry
 
 
 def run_subcycles(
@@ -218,6 +230,8 @@ def run_subcycles(
     imetal: bool,
     cloudy_data_new: bool = True,
     chunk: int | None = None,
+    const_f=None,
+    l_h2shield_field=None,
 ):
     """Run up to ``chunk`` subcycle iterations (default: to the
     max_iterations cap), retiring converged cells via the lane mask.
@@ -229,15 +243,19 @@ def run_subcycles(
     row-granular: each OpenMP row subcycles on its own counter,
     solve_rate_cool_g.F:369-403.)
 
+    ``const_f`` holds the read-only field arrays (split_state); they are
+    closed over rather than carried, so the while_loop carry contains
+    only genuinely mutable state.
+
     Mirrors the subcycle loop of solve_rate_cool_g.F:443-813.
     """
     ispecies = cfg.primordial_chemistry
-    d_shape = carry0["fields"]["density"].shape
-    dtype = carry0["fields"]["density"].dtype
+    const_f = {} if const_f is None else const_f
+    d_shape = const_f["density"].shape
+    dtype = const_f["density"].dtype
     tiny8 = dtype_tiny8(dtype)
     huge8 = dtype_huge8(dtype)
     tolerance = dtype_tolerance(dtype)
-    l_h2shield_field = carry0.get("l_h2shield")
 
     if chunk is None:
         chunk = cfg.max_iterations
@@ -248,7 +266,8 @@ def run_subcycles(
 
     def body(state):
         step, carry = state
-        f = carry["fields"]
+        f = dict(const_f)
+        f.update(carry["fields"])
         itmask = carry["itmask"]
         ttot = carry["ttot"]
         it = carry["cell_it"]
@@ -366,7 +385,9 @@ def run_subcycles(
         tdust_new = jnp.where(itmask, cool.tdust, carry["tdust"])
 
         new_carry = dict(
-            fields=new_fields,
+            # keep only the mutable state keys in the carry; const_f
+            # entries merged into new_fields pass through unchanged
+            fields={k: new_fields[k] for k in carry["fields"]},
             ttot=ttot_new,
             tgasold=tgasold_new,
             tdust=tdust_new,
@@ -377,8 +398,6 @@ def run_subcycles(
             capped=capped_new,
             dtit_prev=jnp.where(itmask, dtit, carry["dtit_prev"]),
         )
-        if l_h2shield_field is not None:
-            new_carry["l_h2shield"] = carry["l_h2shield"]
         return step + 1, new_carry
 
     _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
@@ -419,12 +438,16 @@ def solve_rate_cool(
     conservation renormalization.
     """
     f, itmask0 = prepare_fields(cfg, f, us, imetal, comoving)
-    carry = init_carry(f, itmask0, l_h2shield_field)
+    f_state, f_const = split_state(cfg, f)
+    carry = init_carry(f_state, itmask0)
     carry = run_subcycles(
         cfg, tables, cloudy_prim, cloudy_met, pr, us, carry, dt,
         imetal=imetal, cloudy_data_new=cloudy_data_new,
+        const_f=f_const, l_h2shield_field=l_h2shield_field,
     )
-    fields = finalize_fields(cfg, carry["fields"], us, imetal, comoving)
+    out = dict(f_const)
+    out.update(carry["fields"])
+    fields = finalize_fields(cfg, out, us, imetal, comoving)
     return SolveResult(
         fields=fields,
         n_iterations=jnp.max(carry["cell_it"]),
@@ -472,53 +495,64 @@ def solve_rate_cool_compacted(
     is OpenMP dynamic row scheduling, solve_rate_cool_g.F:369-403).
     """
     f, itmask0 = prepare_fields(cfg, f, us, imetal, comoving)
-    carry = init_carry(f, itmask0, l_h2shield_field)
+    f_state, f_const = split_state(cfg, f)
+    carry = init_carry(f_state, itmask0)
     dtype = f["density"].dtype
 
-    def run(c, n_steps):
-        return run_subcycles(
-            cfg, tables, cloudy_prim, cloudy_met, pr, us, c, dt,
-            imetal=imetal, cloudy_data_new=cloudy_data_new,
-            chunk=n_steps,
-        )
-
-    # Pack the whole carry into one (N, C) matrix so each outer trip is
-    # ONE row gather and ONE row scatter (per-array gathers inside a
+    # Pack the carry into one (N, C) matrix so each outer trip is ONE
+    # row gather and ONE row scatter (per-array gathers inside a
     # while_loop cost ~0.4 ms each on TPU; a single fat one is ~25x
     # cheaper than 25 thin ones).  Round-trip is exact: everything is
     # already the solver dtype, and cell_it (< max_iterations <= 1e4)
     # is exactly representable in f32.
-    field_keys = sorted(carry["fields"].keys())
+    #
+    # The pack is SPLIT: mutable state in M (gathered and scattered
+    # every trip), read-only fields in K (gathered only -- density,
+    # metal, dust, velocities, RT/heating arrays and the shielding
+    # length are never written by the loop, so scattering them back
+    # would be pure HBM traffic).
+    state_keys = sorted(carry["fields"].keys())
+    const_keys = sorted(f_const.keys())
     aux_keys = ["ttot", "tgasold", "tdust", "dedot_prev", "HIdot_prev",
                 "dtit_prev"]
-    has_l_h2 = "l_h2shield" in carry
-    ttot_col = len(field_keys)
-    dtit_col = len(field_keys) + len(aux_keys) - 1
-    mask_col = len(field_keys) + len(aux_keys) + 1  # after cell_it
+    has_l_h2 = l_h2shield_field is not None
+    ttot_col = len(state_keys)
+    dtit_col = len(state_keys) + len(aux_keys) - 1
+    mask_col = len(state_keys) + len(aux_keys) + 1  # after cell_it
 
     def pack(c):
-        cols = [c["fields"][k] for k in field_keys]
+        cols = [c["fields"][k] for k in state_keys]
         cols += [c[a] for a in aux_keys]
         cols.append(c["cell_it"].astype(dtype))
         cols.append(c["itmask"].astype(dtype))
         cols.append(c["capped"].astype(dtype))
-        if has_l_h2:
-            cols.append(c["l_h2shield"])
         return jnp.stack(cols, axis=1)
 
     def unpack(m):
-        i = len(field_keys)
+        i = len(state_keys)
         c = dict(
-            fields={k: m[:, j] for j, k in enumerate(field_keys)},
+            fields={k: m[:, j] for j, k in enumerate(state_keys)},
             **{a: m[:, i + j] for j, a in enumerate(aux_keys)},
         )
         i += len(aux_keys)
         c["cell_it"] = m[:, i].astype(jnp.int32)
         c["itmask"] = m[:, i + 1] > 0
         c["capped"] = m[:, i + 2] > 0
-        if has_l_h2:
-            c["l_h2shield"] = m[:, i + 3]
         return c
+
+    const_cols = [f_const[k] for k in const_keys]
+    if has_l_h2:
+        const_cols.append(l_h2shield_field)
+    K = jnp.stack(const_cols, axis=1)
+
+    def run(c, n_steps, km):
+        consts = {k: km[:, j] for j, k in enumerate(const_keys)}
+        l_h2 = km[:, len(const_keys)] if has_l_h2 else None
+        return run_subcycles(
+            cfg, tables, cloudy_prim, cloudy_met, pr, us, c, dt,
+            imetal=imetal, cloudy_data_new=cloudy_data_new,
+            chunk=n_steps, const_f=consts, l_h2shield_field=l_h2,
+        )
 
     # --- warm phase, tiled at the batch width ------------------------
     # Full-width (e.g. 1M-cell) subcycle iterations measure ~1.5x the
@@ -535,14 +569,15 @@ def solve_rate_cool_compacted(
     M = pack(carry)
     if warm > 0:
         if n <= batch:
-            M = pack(run(unpack(M), warm))
+            M = pack(run(unpack(M), warm, K))
         else:
             n_tiles = -(-n // batch)
 
             def warm_tile(i, M):
                 start = jnp.minimum(i * batch, n - batch)
                 sub = jax.lax.dynamic_slice_in_dim(M, start, batch, 0)
-                sub = pack(run(unpack(sub), warm))
+                subk = jax.lax.dynamic_slice_in_dim(K, start, batch, 0)
+                sub = pack(run(unpack(sub), warm, subk))
                 return jax.lax.dynamic_update_slice_in_dim(
                     M, sub, start, 0
                 )
@@ -589,13 +624,16 @@ def solve_rate_cool_compacted(
             unpack(M.at[idx].get(unique_indices=True,
                                  indices_are_sorted=True)),
             chunk,
+            K.at[idx].get(unique_indices=True, indices_are_sorted=True),
         )
         return M.at[idx].set(pack(sub), unique_indices=True,
                              indices_are_sorted=True)
 
     M = jax.lax.while_loop(outer_cond, outer_body, M)
     carry = unpack(M)
-    fields = finalize_fields(cfg, carry["fields"], us, imetal, comoving)
+    out = dict(f_const)
+    out.update(carry["fields"])
+    fields = finalize_fields(cfg, out, us, imetal, comoving)
     return SolveResult(
         fields=fields,
         n_iterations=jnp.max(carry["cell_it"]),

@@ -45,13 +45,14 @@ def time_variant(name, **overrides):
         us = make_unit_scalars(cfg, ctx.tables, ctx.units, 0.0)
         pr = _photo_rates(cfg, ctx.tables, ctx.uvb, ctx.units)
         f2, itmask0 = _solver.prepare_fields(cfg, f, us, True, False)
-        carry = _solver.init_carry(f2, itmask0)
+        f_state, f_const = _solver.split_state(cfg, f2)
+    carry = _solver.init_carry(f_state, itmask0)
         # force the mask to stay all-true timing-wise? No: keep real
         # retirement; chunk is small enough that most lanes stay active.
         carry = _solver.run_subcycles(
             cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
             pr, us, carry, DT, imetal=True,
-            cloudy_data_new=ctx.cloudy_data_new, chunk=CHUNK,
+            cloudy_data_new=ctx.cloudy_data_new, chunk=CHUNK, const_f=f_const,
         )
         return carry["fields"]["energy"], carry["cell_it"]
 

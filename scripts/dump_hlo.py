@@ -33,11 +33,12 @@ def run(f):
     us = make_unit_scalars(cfg, ctx.tables, ctx.units, 0.0)
     pr = _photo_rates(cfg, ctx.tables, ctx.uvb, ctx.units)
     f2, itmask0 = _solver.prepare_fields(cfg, f, us, True, False)
-    carry = _solver.init_carry(f2, itmask0)
+    f_state, f_const = _solver.split_state(cfg, f2)
+    carry = _solver.init_carry(f_state, itmask0)
     carry = _solver.run_subcycles(
         cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
         pr, us, carry, 1.0e-4, imetal=True,
-        cloudy_data_new=ctx.cloudy_data_new, chunk=32,
+        cloudy_data_new=ctx.cloudy_data_new, chunk=32, const_f=f_const,
     )
     return carry["fields"]["energy"], carry["cell_it"]
 
