@@ -16,9 +16,22 @@ handle 0 implicitly.
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import Dict
 
 import numpy as np
+
+# Honor JAX_PLATFORMS before any backend touch.  In environments whose
+# sitecustomize pre-registers an accelerator PJRT plugin, the env var
+# alone is ineffective; jax.config.update("jax_platforms", ...) applied
+# before first backend use (the tests/conftest.py recipe) still works.
+# This makes `JAX_PLATFORMS=cpu ./c_example` behave as a host-code user
+# expects instead of silently grabbing (or hanging on) an accelerator.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
 
 from .api import ChemistryData
 
