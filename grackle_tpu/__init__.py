@@ -41,6 +41,7 @@ from .utilities.evolve import (  # noqa: F401,E402
 )
 # pygrackle-style mutating form: set_cosmology_units(chemistry_data, ...)
 from .utilities.units import set_cosmology_units  # noqa: F401,E402
+from . import functional  # noqa: F401,E402
 from .version import get_grackle_version  # noqa: F401,E402
 from .info import set_verbose, show_parameters  # noqa: F401,E402
 
