@@ -46,7 +46,7 @@ def time_variant(name, **overrides):
         pr = _photo_rates(cfg, ctx.tables, ctx.uvb, ctx.units)
         f2, itmask0 = _solver.prepare_fields(cfg, f, us, True, False)
         f_state, f_const = _solver.split_state(cfg, f2)
-    carry = _solver.init_carry(f_state, itmask0)
+        carry = _solver.init_carry(f_state, itmask0)
         # force the mask to stay all-true timing-wise? No: keep real
         # retirement; chunk is small enough that most lanes stay active.
         carry = _solver.run_subcycles(
