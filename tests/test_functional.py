@@ -118,6 +118,45 @@ def test_derived_fns_match_stateful():
         np.asarray(fc["cooling_time"]), np.asarray(ct_fn(fields)))
 
 
+def test_solve_fn_shard_map_composition():
+    """The closure composes under the caller's own shard_map over the
+    8-device CPU mesh — the documented multi-chip embedding mode
+    (docs/Integration.md)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from grackle_tpu.parallel.sharding import make_cell_mesh
+
+    cd = make_chem(1)
+    fc = make_fc(cd, n=128, T0=5.0e4)
+    fields = {k: jnp.asarray(v) for k, v in _fields_of(fc).items()}
+    dt = 0.01
+
+    ref, _ = cd.solve_chemistry(
+        {k: np.array(v) for k, v in fields.items()}, dt)
+
+    solve = gfn.make_solve_fn(cd)
+    mesh = make_cell_mesh()
+    spec = {k: P("cells") for k in fields}
+
+    @jax.jit
+    def sharded_step(f):
+        def local(f_shard):
+            new_f, diag = solve(f_shard, dt)
+            return new_f, diag["converged"]
+        return shard_map(
+            local, mesh=mesh, in_specs=(spec,),
+            out_specs=(spec, P("cells")), check_vma=False,
+        )(f)
+
+    out, conv = sharded_step(fields)
+    assert np.asarray(conv).all()
+    for k in ref:
+        np.testing.assert_array_equal(
+            np.asarray(ref[k]), np.asarray(out[k]), err_msg=k
+        )
+
+
 def test_requires_initialized():
     from grackle_tpu.api import ChemistryData
 
