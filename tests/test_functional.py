@@ -157,6 +157,38 @@ def test_solve_fn_shard_map_composition():
         )
 
 
+def test_solve_fn_exact_cooling_matches_stateful(tmp_path):
+    """The exact-integration tabulated branch of the closure matches
+    the stateful path too."""
+    import os
+
+    from grackle_tpu.data.synthetic import make_synthetic_data_file
+
+    path = "/tmp/functional_exact_data.h5"
+    if not os.path.exists(path):
+        make_synthetic_data_file(path)
+
+    from .test_exact_cooling import _tab_setup
+
+    cd, fc = _tab_setup(path, exact=1, n=128)
+    fields = {k: np.array(v) for k, v in fc.items()
+              if k in ("density", "metal", "energy")}
+    dt = 0.5
+
+    ref, _ = cd.solve_chemistry(dict(fields), dt)
+    out, diag = jax.jit(gfn.make_solve_fn(cd))(dict(fields), dt)
+
+    # the closed-form Townsend pass fuses differently inside the
+    # caller's jit than in the stateful wrapper's own jit; agreement is
+    # ulp-level f64 (measured max 7e-15), unlike the subcycled paths
+    # which are bit-identical
+    np.testing.assert_allclose(
+        np.asarray(ref["energy"]), np.asarray(out["energy"]),
+        rtol=1e-12,
+    )
+    assert int(diag["n_iterations"]) == 1
+
+
 def test_requires_initialized():
     from grackle_tpu.api import ChemistryData
 
