@@ -16,7 +16,9 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
-from .config import ChemistryConfig, PARAMETER_REGISTRY, default_config, resolve_config  # noqa: F401,E402
+from .config import (  # noqa: F401,E402
+    ChemistryConfig, PARAMETER_REGISTRY, default_config, resolve_config,
+)
 from .units import CodeUnits  # noqa: F401,E402
 from .units import set_cosmology_units as make_cosmology_units  # noqa: F401,E402
 from .rates import RateTables, build_rate_tables  # noqa: F401,E402

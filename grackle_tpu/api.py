@@ -182,6 +182,18 @@ def _solve_chemistry_core(
 _COMPACT_MIN_BUCKET = 8192
 
 
+def solve_path(cfg, n):
+    """Which solve implementation a given (config, cell count) uses:
+    'exact' | 'compact' | 'monolithic'.  Single source of truth for the
+    stateful API (solve_chemistry below) and the functional closures
+    (functional.make_solve_fn), which promise identical results."""
+    if cfg.exact_cooling == 1 and cfg.with_radiative_cooling == 1:
+        return "exact"
+    if cfg.solver_compaction > 0 and n >= 4 * _COMPACT_MIN_BUCKET:
+        return "compact"
+    return "monolithic"
+
+
 def _compact_batch(n):
     # Measured sweet spot on v5e is an ABSOLUTE batch of ~48k cells
     # regardless of n (bigger batches waste lanes on stragglers, smaller
@@ -368,13 +380,13 @@ def solve_chemistry(ctx: GrackleContext, fields, dt,
     # overflow the f32-pair representation and NaN when traced).
     us = make_unit_scalars(cfg, ctx.tables, ctx.units, grid_dx)
     pr = _photo_rates(cfg, ctx.tables, ctx.uvb, ctx.units)
-    if cfg.exact_cooling == 1 and cfg.with_radiative_cooling == 1:
+    path = solve_path(cfg, n)
+    if path == "exact":
         new_f, n_iter, converged, cell_iter = _solve_chemistry_core_exact(
             cfg, ctx.cloudy_primordial, ctx.cloudy_metal,
             us, pr, f, jnp.asarray(dt, dtype), imetal, comoving,
         )
-    elif (cfg.solver_compaction > 0
-            and n >= 4 * _COMPACT_MIN_BUCKET):
+    elif path == "compact":
         new_f, n_iter, converged, cell_iter = _solve_chemistry_core_compact(
             cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
             us, pr, f, jnp.asarray(dt, dtype),

@@ -45,9 +45,9 @@ import jax.numpy as jnp
 
 from .api import (
     GrackleContext,
-    _COMPACT_MIN_BUCKET,
     _compact_batch,
     _photo_rates,
+    solve_path,
 )
 from .ops import derived as _derived
 from .ops import solver as _solver
@@ -99,10 +99,20 @@ def make_solve_fn(chem, grid_dx: float = 0.0):
     def solve(fields, dt, l_h2shield=None):
         f, imetal = _prep(fields, dtype)
         dt = jnp.asarray(dt, dtype)
+        if cfg.H2_self_shielding == 1 and l_h2shield is None:
+            # same misuse the stateful path rejects (api.py:341-351);
+            # raising here (at trace time) beats a TypeError deep in
+            # lookup_cool_rates
+            raise ValueError(
+                "H2_self_shielding option 1 requires the precomputed "
+                "per-cell shielding length: solve(fields, dt, "
+                "l_h2shield=...) — see api.sobolev_shield_length"
+            )
         l_h2 = (None if l_h2shield is None
                 else jnp.asarray(l_h2shield, dtype).reshape(-1))
         n = f["density"].shape[0]
-        if cfg.exact_cooling == 1 and cfg.with_radiative_cooling == 1:
+        path = solve_path(cfg, n)
+        if path == "exact":
             from .ops import exact_cool as _exact
 
             fe = dict(f)
@@ -119,7 +129,7 @@ def make_solve_fn(chem, grid_dx: float = 0.0):
                 "cell_iterations": jnp.ones((n,), dtype=jnp.int32),
             }
             return out, diag
-        if cfg.solver_compaction > 0 and n >= 4 * _COMPACT_MIN_BUCKET:
+        if path == "compact":
             result = _solver.solve_rate_cool_compacted(
                 cfg, ctx.tables, ctx.cloudy_primordial, ctx.cloudy_metal,
                 pr, us, f, dt, imetal=imetal,

@@ -250,7 +250,11 @@ def run_subcycles(
     Mirrors the subcycle loop of solve_rate_cool_g.F:443-813.
     """
     ispecies = cfg.primordial_chemistry
-    const_f = {} if const_f is None else const_f
+    if const_f is None or "density" not in const_f:
+        raise ValueError(
+            "run_subcycles requires const_f (the read-only field dict "
+            "from split_state); density is always routed there"
+        )
     d_shape = const_f["density"].shape
     dtype = const_f["density"].dtype
     tiny8 = dtype_tiny8(dtype)

@@ -18,11 +18,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
-import numpy as np
 
 import __graft_entry__ as ge
-from grackle_tpu.api import ChemistryData
-from grackle_tpu.utilities.physical_constants import mass_hydrogen_cgs
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
 WARMS = ([int(x) for x in sys.argv[2].split(",")]
@@ -33,28 +30,6 @@ DT = 1.0e-4
 REPEATS = 3
 
 
-def make_cd(warm):
-    data_file = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".synthetic_cloudy.h5",
-    )
-    cd = ChemistryData()
-    cd.use_grackle = 1
-    cd.with_radiative_cooling = 1
-    cd.primordial_chemistry = 3
-    cd.precision = 32
-    cd.metal_cooling = 1
-    cd.grackle_data_file = data_file
-    cd.dust_chemistry = 1
-    cd.cmb_temperature_floor = 1
-    cd.density_units = mass_hydrogen_cgs
-    cd.length_units = 3.0857e21
-    cd.time_units = 3.1556952e13
-    cd.solver_compaction = warm
-    assert cd.initialize() == 1
-    return cd
-
-
 def main():
     base_cd = ge._make_context(chem=3, precision=32)
     base_fields = ge._make_fields(base_cd, N)
@@ -63,7 +38,8 @@ def main():
     best = None
     for warm, batch in itertools.product(WARMS, BATCHES):
         os.environ["GTPU_COMPACT_BATCH"] = str(batch)
-        cd = make_cd(warm)
+        # the real flagship config, with only the swept knob overridden
+        cd = ge._make_context(chem=3, precision=32, solver_compaction=warm)
         # compile + warm cache
         out, _ = cd.solve_chemistry(dict(fields), DT)
         float(jnp.sum(out["energy"]))

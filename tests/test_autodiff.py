@@ -75,14 +75,12 @@ def test_pressure_and_gamma_grads():
     _fd_check(gfn.make_gamma_fn(cd), fields, "H2I", rtol=1e-4)
 
 
-def test_grad_with_metal_cooling():
+def test_grad_with_metal_cooling(tmp_path):
     """Gradients flow through the Cloudy table interpolation too."""
-    import os
     from grackle_tpu.data.synthetic import make_synthetic_data_file
 
-    path = "/tmp/autodiff_data.h5"
-    if not os.path.exists(path):
-        make_synthetic_data_file(path)
+    path = str(tmp_path / "autodiff_data.h5")
+    make_synthetic_data_file(path)
     cd = make_chem(2, metal_cooling=1, grackle_data_file=path)
     fields = _fields(cd)
     fields["metal"] = 0.01 * fields["density"]

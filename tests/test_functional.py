@@ -160,13 +160,10 @@ def test_solve_fn_shard_map_composition():
 def test_solve_fn_exact_cooling_matches_stateful(tmp_path):
     """The exact-integration tabulated branch of the closure matches
     the stateful path too."""
-    import os
-
     from grackle_tpu.data.synthetic import make_synthetic_data_file
 
-    path = "/tmp/functional_exact_data.h5"
-    if not os.path.exists(path):
-        make_synthetic_data_file(path)
+    path = str(tmp_path / "functional_exact_data.h5")
+    make_synthetic_data_file(path)
 
     from .test_exact_cooling import _tab_setup
 
