@@ -115,10 +115,27 @@ def solve_chemistry_sharded(
             # cross-chip communication (see api.solve_chemistry and
             # ops/solver.py:solve_rate_cool_compacted)
             n_local = f_local["density"].shape[0]
-            from ..api import _compact_batch, _COMPACT_MIN_BUCKET
+            from ..api import _compact_batch, solve_path
 
-            if (cfg.solver_compaction > 0
-                    and n_local >= 4 * _COMPACT_MIN_BUCKET):
+            path = solve_path(cfg, n_local)
+            if path == "exact":
+                # exact-integration tabulated cooling is pointwise, so
+                # it shards trivially (ops/exact_cool.py)
+                from ..ops import exact_cool as _exact
+
+                fe = dict(f_local)
+                if bool(ctx.units.comoving_coordinates):
+                    fe = _solver.scale_fields(
+                        cfg, fe, us.aye**-3, imetal
+                    )
+                out = dict(f_local)
+                out["energy"] = _exact.exact_cool_step(
+                    cfg, ctx.cloudy_primordial, ctx.cloudy_metal, pr,
+                    us, fe, dt, imetal,
+                )
+                return (out, jnp.ones((1,), dtype=jnp.int32),
+                        jnp.ones((n_local,), dtype=bool))
+            if path == "compact":
                 result = _solver.solve_rate_cool_compacted(
                     cfg, tables, ctx.cloudy_primordial, ctx.cloudy_metal,
                     pr, us, f_local, dt,

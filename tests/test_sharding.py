@@ -128,3 +128,28 @@ def test_sharded_compaction_equals_single(monkeypatch):
             np.asarray(shard_f[name]), np.asarray(ref_f[name]),
             err_msg=name,
         )
+
+
+def test_sharded_exact_cooling(tmp_path):
+    """exact_cooling=1 (Townsend closed form) shards pointwise: sharded
+    energies match the unsharded exact path."""
+    from grackle_tpu.data.synthetic import make_synthetic_data_file
+
+    from .test_exact_cooling import _tab_setup
+
+    path = str(tmp_path / "sharded_exact.h5")
+    make_synthetic_data_file(path)
+    cd, fc = _tab_setup(path, exact=1, n=96)
+    fields = {k: np.array(v) for k, v in fc.items()
+              if k in ("density", "metal", "energy")}
+    dt = 0.5
+
+    ref_f, _ = cd.solve_chemistry(dict(fields), dt)
+
+    mesh = make_cell_mesh()
+    shard_f, diag = solve_chemistry_sharded(cd.context, fields, dt, mesh)
+    assert bool(np.all(np.asarray(diag["converged"])))
+    np.testing.assert_allclose(
+        np.asarray(shard_f["energy"]), np.asarray(ref_f["energy"]),
+        rtol=1e-12,
+    )
