@@ -31,6 +31,42 @@ CHEM = 3
 PRECISION = int(os.environ.get("BENCH_PRECISION", 32))
 
 
+def _wait_for_backend():
+    """Probe the JAX backend in a subprocess before committing to the
+    bench: through the axon tunnel, a dead accelerator HANGS backend
+    initialization indefinitely (no error), which would turn this
+    benchmark into an unbounded stall.  Retry for up to
+    GTPU_BENCH_WAIT seconds (default 30 min), then fail with an honest
+    JSON record instead of hanging."""
+    budget = float(os.environ.get("GTPU_BENCH_WAIT", 1800))
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((256, 256), jnp.float32); "
+             "print(float(jnp.sum(x @ x)))")
+    deadline = time.time() + budget
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                timeout=150,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(json.dumps({
+                "metric": "cells/sec/chip solve_chemistry "
+                          "(12-species + metals + dust)",
+                "value": 0,
+                "unit": "cells/s",
+                "vs_baseline": None,
+                "error": "accelerator backend unreachable (device "
+                         f"probe failed for {budget:.0f}s)",
+            }))
+            sys.exit(1)
+        time.sleep(120)
+
+
 def _run_solve(n, repeats=3, precision=None):
     import jax
     import jax.numpy as jnp
@@ -109,6 +145,8 @@ def main():
     )
     args = parser.parse_args()
     precision = args.precision
+
+    _wait_for_backend()
 
     n_head = N_TPU if precision == 32 else N_F64
     rate, n_iter, t = _run_solve(n_head, precision=precision)
