@@ -102,3 +102,14 @@ def test_freefall_example(tmp_path, metal):
     assert np.all(np.isfinite(out["temperature"]))
     # density must rise by orders of magnitude in the collapse
     assert out["density"][-1] > 1e3 * out["density"][0]
+
+
+def test_functional_jit_example(tmp_path):
+    _run("functional_jit.py", tmp_path,
+         env_extra={"N_STEPS": "8", "DT_MYR": "1.0"})
+    out = np.load(tmp_path / "functional_jit.npz")
+    T = out["temperature"]
+    assert T.shape == (8, 64)
+    assert np.all(np.isfinite(T))
+    # cooling-dominated band: hottest cells must cool monotonically
+    assert T[-1, -1] < T[0, -1]
