@@ -622,6 +622,17 @@ class ChemistryData:
         return 1
 
     @property
+    def config(self) -> "ChemistryConfig":
+        """The frozen parameter struct for the current parameter values
+        (the chemistry_data struct, grackle_chemistry_data.h:20-178).
+        Usable before initialize() — e.g. for evaluating individual
+        rate functions (docs/RateFunctions.md); after initialize() this
+        is the resolved config the solver runs with."""
+        if self._context is not None:
+            return self._context.config
+        return ChemistryConfig(**self._params)
+
+    @property
     def context(self) -> Optional[GrackleContext]:
         return self._context
 
