@@ -552,6 +552,17 @@ class ChemistryData:
             return params[name]
         if name in units:
             return units[name]
+        # rate-table views after initialize, like pygrackle's read-only
+        # NumPy views of k1..k58 / cooling coefficient tables
+        # (grackle_wrapper.pyx:98-549)
+        ctx = object.__getattribute__(self, "_context")
+        if (ctx is not None and not name.startswith("_")
+                and hasattr(ctx.tables, name)):
+            val = getattr(ctx.tables, name)
+            if val is not None:
+                view = np.asarray(val)
+                view.flags.writeable = False
+                return view
         raise AttributeError(name)
 
     def __setattr__(self, name, value):
