@@ -90,3 +90,30 @@ def test_derived_parameter_resolution():
     assert cd.photoelectric_heating == -1
     cd.initialize()
     assert cd.photoelectric_heating == 0
+
+
+def test_rate_table_views():
+    """pygrackle exposes k1..k58 + cooling coefficient tables as
+    read-only NumPy views after initialize (grackle_wrapper.pyx:98-549);
+    so does ChemistryData."""
+    import numpy as np
+    import pytest as _pytest
+
+    from grackle_tpu.utilities.physical_constants import \
+        mass_hydrogen_cgs
+
+    cd = ChemistryData()
+    cd.use_grackle = 1
+    cd.primordial_chemistry = 2
+    cd.density_units = mass_hydrogen_cgs
+    cd.length_units = 3.0857e21
+    cd.time_units = 3.1556952e13
+    with _pytest.raises(AttributeError):
+        cd.k1  # only available after initialize
+    cd.initialize()
+    assert cd.k1.shape == (cd.NumberOfTemperatureBins,)
+    assert np.all(np.isfinite(cd.ceHI))
+    assert cd.h2dust.shape == (cd.NumberOfTemperatureBins,
+                               cd.NumberOfDustTemperatureBins)
+    with _pytest.raises(ValueError):
+        cd.k1[0] = 1.0  # read-only
