@@ -107,7 +107,7 @@ def test_freefall_example(tmp_path, metal):
 def test_functional_jit_example(tmp_path):
     _run("functional_jit.py", tmp_path,
          env_extra={"N_STEPS": "8", "DT_MYR": "1.0"})
-    out = np.load(tmp_path / "functional_jit.npz")
+    out = _check_answer("functional_jit", tmp_path / "functional_jit.npz")
     T = out["temperature"]
     assert T.shape == (8, 64)
     assert np.all(np.isfinite(T))
