@@ -452,7 +452,8 @@ def test_solver_matches_bdf_reference(chem):
         assert s1 < 0.25 * s0, (s0, s1, errs_default, errs_tight)
 
 
-def test_solver_matches_bdf_reference_dust(tmp_path):
+@pytest.mark.parametrize("chem", [2, 3])
+def test_solver_matches_bdf_reference_dust(tmp_path, chem):
     """The DUST tier: h2dust grain formation of H2, the nested
     dust-temperature equilibrium solve, gas-grain transfer and
     photoelectric heating (calc_tdust_1d_g.F, cool1d_multi_g.F:688-1023)
@@ -462,6 +463,9 @@ def test_solver_matches_bdf_reference_dust(tmp_path):
     T-slaved amplification); at acc=0.004 everything lands within
     ~1.7e-2 — the same first-order convergence as the dust-free tiers,
     so the dust physics introduces no unanchored integration error.
+    chem=3 with dust + metal is EXACTLY the flagship benchmark tier —
+    the headline config is anchored end-to-end (D-network errors at
+    acc=0.004: DI 0.011, HDI 0.012).
     """
     from grackle_tpu.data.synthetic import make_synthetic_data_file
 
@@ -471,8 +475,8 @@ def test_solver_matches_bdf_reference_dust(tmp_path):
                   grackle_data_file=path, UVbackground=0,
                   LWbackground_intensity=1.0)
 
-    errs_default, refs = _solver_errors(2, 0.1, None, **kwargs)
-    errs_tight, _ = _solver_errors(2, 0.004, refs, **kwargs)
+    errs_default, refs = _solver_errors(chem, 0.1, None, **kwargs)
+    errs_tight, _ = _solver_errors(chem, 0.004, refs, **kwargs)
 
     assert len(errs_default) >= 6
     assert errs_default["energy"] < 0.4, errs_default
