@@ -176,7 +176,7 @@ def _solve_chemistry_core(
 # while_loop makes every cell ride along until the slowest converges.
 # solve_rate_cool_compacted runs the loop batch-wise entirely inside
 # one jit (zero host syncs): see its docstring.  _compact_batch picks
-# an absolute ~48k-cell batch clamped to n/4 (floored at
+# an absolute ~80k-cell batch clamped to n/4 (floored at
 # _COMPACT_MIN_BUCKET; GTPU_COMPACT_BATCH overrides).
 
 _COMPACT_MIN_BUCKET = 8192
@@ -195,13 +195,15 @@ def solve_path(cfg, n):
 
 
 def _compact_batch(n):
-    # Measured sweet spot on v5e is an ABSOLUTE batch of ~48k cells
+    # Measured sweet spot on v5e is an ABSOLUTE batch of ~80k cells
     # regardless of n (bigger batches waste lanes on stragglers, smaller
     # ones lose to the fixed per-subcycle dispatch floor), clamped
-    # to n/4 so small arrays still compact usefully.
+    # to n/4 so small arrays still compact usefully.  Re-tuned after the
+    # sorted-scatter + split-pack traffic reductions (the cheaper trips
+    # moved the optimum up from ~48k; see docs/Performance.md).
     env = os.environ.get("GTPU_COMPACT_BATCH")
     try:
-        target = int(env) if env else 49152
+        target = int(env) if env else 81920
     except ValueError as exc:
         raise ValueError(
             f"GTPU_COMPACT_BATCH must be an integer, got {env!r}"

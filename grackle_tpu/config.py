@@ -111,7 +111,7 @@ PARAMETER_REGISTRY: Dict[str, Tuple[type, Any]] = {
     # per-cell).  The value is the warm-phase subcycle count; 0 disables;
     # the driver also auto-disables below 4*8192 cells where batching
     # overhead would dominate.
-    "solver_compaction": (int, 20),
+    "solver_compaction": (int, 24),
     # Extension (no reference analogue): exact-integration radiative
     # cooling for tabulated mode (primordial_chemistry=0).  Replaces the
     # subcycled energy integration with the closed-form Townsend (2009)

@@ -558,29 +558,41 @@ def solve_rate_cool_compacted(
             chunk=n_steps, const_f=consts, l_h2shield_field=l_h2,
         )
 
-    # --- warm phase, tiled at the batch width ------------------------
+    # --- warm phase, tiled ---------------------------------------------
     # Full-width (e.g. 1M-cell) subcycle iterations measure ~1.5x the
-    # per-cell cost of batch-width ones (XLA stops fusing the two-hot
+    # per-cell cost of narrow-tile ones (XLA stops fusing the two-hot
     # weight builds into the conv operands at large widths), so the
-    # warm phase runs over contiguous `batch`-sized tiles instead of
-    # the whole array.  Tiling is exact for the same reason compaction
-    # is: all bookkeeping is per-cell.  The final tile is clamped to
-    # [n - batch, n): its overlap re-runs cells already processed, and
-    # extra subcycles on retired lanes are masked no-ops, while
-    # still-active overlap cells just advance earlier -- the per-cell
-    # subcycle sequence is unchanged either way.
+    # warm phase runs over contiguous fixed-width tiles instead of
+    # the whole array.  The tile width defaults to the batch size but
+    # has a different trade-off (per-cell iteration cost only — no
+    # straggler lane waste, no gather/scatter amortization), so
+    # GTPU_WARM_TILE decouples it.  Tiling is exact for the same reason
+    # compaction is: all bookkeeping is per-cell.  The final tile is
+    # clamped to [n - tile, n): its overlap re-runs cells already
+    # processed, and extra subcycles on retired lanes are masked no-ops,
+    # while still-active overlap cells just advance earlier -- the
+    # per-cell subcycle sequence is unchanged either way.
+    tile_env = os.environ.get("GTPU_WARM_TILE")
+    try:
+        tile = int(tile_env) if tile_env else 0
+    except ValueError as exc:
+        raise ValueError(
+            f"GTPU_WARM_TILE must be an integer, got {tile_env!r}"
+        ) from exc
+    if tile <= 0:  # 0 = off: tile at the batch width
+        tile = batch
     n = f["density"].shape[0]
     M = pack(carry)
     if warm > 0:
-        if n <= batch:
+        if n <= tile:
             M = pack(run(unpack(M), warm, K))
         else:
-            n_tiles = -(-n // batch)
+            n_tiles = -(-n // tile)
 
             def warm_tile(i, M):
-                start = jnp.minimum(i * batch, n - batch)
-                sub = jax.lax.dynamic_slice_in_dim(M, start, batch, 0)
-                subk = jax.lax.dynamic_slice_in_dim(K, start, batch, 0)
+                start = jnp.minimum(i * tile, n - tile)
+                sub = jax.lax.dynamic_slice_in_dim(M, start, tile, 0)
+                subk = jax.lax.dynamic_slice_in_dim(K, start, tile, 0)
                 sub = pack(run(unpack(sub), warm, subk))
                 return jax.lax.dynamic_update_slice_in_dim(
                     M, sub, start, 0

@@ -1,7 +1,10 @@
-"""Sweep the compaction knobs (warm-phase subcycles x batch size) on the
-flagship workload and print cells/s for each point.
+"""Sweep the compaction knobs (warm-phase subcycles x batch size
+[x warm-tile width]) on the flagship workload and print cells/s for
+each point.
 
-Usage: python scripts/tune_compact.py [N] [WARM,WARM,...] [BATCH,BATCH,...]
+Usage: python scripts/tune_compact.py [N] [WARM,..] [BATCH,..] [TILE,..]
+
+TILE sweeps GTPU_WARM_TILE (0 = tile at the batch width, the default).
 
 Run on the real TPU (no JAX_PLATFORMS override).  Each point re-traces
 (warm is the JIT-static solver_compaction parameter; batch flows through
@@ -26,6 +29,8 @@ WARMS = ([int(x) for x in sys.argv[2].split(",")]
          if len(sys.argv) > 2 else [12, 16, 20, 24, 28])
 BATCHES = ([int(x) for x in sys.argv[3].split(",")]
            if len(sys.argv) > 3 else [32768, 49152, 65536])
+TILES = ([int(x) for x in sys.argv[4].split(",")]
+         if len(sys.argv) > 4 else [0])
 DT = 1.0e-4
 REPEATS = 3
 
@@ -35,9 +40,16 @@ def main():
     base_fields = ge._make_fields(base_cd, N)
     fields = {k: jnp.asarray(v) for k, v in base_fields.items()}
 
+    import jax
+
     best = None
-    for warm, batch in itertools.product(WARMS, BATCHES):
+    for warm, batch, tile in itertools.product(WARMS, BATCHES, TILES):
         os.environ["GTPU_COMPACT_BATCH"] = str(batch)
+        os.environ["GTPU_WARM_TILE"] = str(tile)
+        if len(TILES) > 1:
+            # GTPU_WARM_TILE is read at trace time and is not a jit
+            # static arg, so a cached trace would ignore the new value
+            jax.clear_caches()
         # the real flagship config, with only the swept knob overridden
         cd = ge._make_context(chem=3, precision=32, solver_compaction=warm)
         # compile + warm cache
@@ -50,11 +62,13 @@ def main():
             float(jnp.sum(out["energy"]))  # force transfer
             best_t = min(best_t, time.perf_counter() - t0)
         rate = N / best_t
-        print(f"warm={warm:3d} batch={batch:6d}  {rate/1e6:6.3f}M cells/s"
+        print(f"warm={warm:3d} batch={batch:6d} tile={tile:6d}"
+              f"  {rate/1e6:6.3f}M cells/s"
               f"  ({best_t*1e3:.0f} ms)", flush=True)
         if best is None or rate > best[0]:
-            best = (rate, warm, batch)
-    print(f"best: warm={best[1]} batch={best[2]} {best[0]/1e6:.3f}M cells/s")
+            best = (rate, warm, batch, tile)
+    print(f"best: warm={best[1]} batch={best[2]} tile={best[3]}"
+          f" {best[0]/1e6:.3f}M cells/s")
 
 
 if __name__ == "__main__":

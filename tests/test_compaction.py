@@ -81,6 +81,33 @@ def test_compaction_respects_max_iterations(monkeypatch):
     assert not np.all(np.asarray(diag["converged"]))
 
 
+def test_compaction_decoupled_warm_tile(monkeypatch):
+    """GTPU_WARM_TILE decouples the warm-phase tile width from the
+    compaction batch size (their cost trade-offs differ; see
+    docs/Performance.md).  Any tile width is bit-identical: tiling is
+    exact because all subcycle bookkeeping is per-cell."""
+    monkeypatch.setattr(api, "_COMPACT_MIN_BUCKET", 64)
+    monkeypatch.setenv("GTPU_COMPACT_BATCH", "128")
+    monkeypatch.setenv("GTPU_WARM_TILE", "96")
+    # unique warm count -> fresh trace (the env knobs are read at trace
+    # time, so a cached (cfg, batch) trace would ignore them)
+    cd = _make_chem(solver_compaction=9)
+    n = 520  # ceil(520 / 96) = 6 warm tiles; final tile overlaps
+    f = _state(n)
+    new_c, diag_c = cd.solve_chemistry(dict(f), 1.0e-4)
+
+    cd0 = _make_chem(solver_compaction=0)
+    new_m, diag_m = cd0.solve_chemistry(dict(f), 1.0e-4)
+
+    assert np.all(np.asarray(diag_c["converged"]))
+    assert np.array_equal(np.asarray(diag_c["cell_iterations"]),
+                          np.asarray(diag_m["cell_iterations"]))
+    for k in new_m:
+        np.testing.assert_array_equal(
+            np.asarray(new_c[k]), np.asarray(new_m[k]), err_msg=k
+        )
+
+
 def test_compaction_overlapped_final_tile(monkeypatch):
     """n not a multiple of the batch: the warm phase's final tile is
     clamped to [n - batch, n), re-running overlap cells.  Extra warm
