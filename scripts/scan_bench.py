@@ -49,7 +49,10 @@ def _time(fn, *args):
 
 def main():
     cd = ge._make_context(chem=3, precision=32)
-    fields = {k: jnp.asarray(v) for k, v in ge._make_fields(cd, N).items()}
+    # Cast to the solver dtype: the scan carry must keep a fixed dtype
+    # across iterations, and the precision-32 solve emits float32.
+    fields = {k: jnp.asarray(v, dtype=jnp.float32)
+              for k, v in ge._make_fields(cd, N).items()}
     solve = gfn.make_solve_fn(cd)
 
     step = jax.jit(lambda f, dt: solve(f, dt)[0])
