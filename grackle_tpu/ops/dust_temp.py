@@ -162,7 +162,10 @@ def calc_tdust_1d(tgas, nh, gasgr, gamma_isrf_coef, isrf, itmask, trad,
             f"GTPU_DUST_LOOP must be one of blocked|fori|while, "
             f"got {_loop_env!r}"
         )
-    unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "8"))
+    # 4 re-measured best on v5e after the split-pack/sorted-scatter
+    # changes (1.40M vs 1.35M flagship at 8; warm-started solves retire
+    # in 1-2 Newton steps, so shorter blocks waste fewer masked lanes)
+    unroll = int(_os.environ.get("GTPU_DUST_UNROLL", "4"))
 
     # A short fori "lead" block before the while (GTPU_DUST_LEAD) was a
     # ~2% win when the rest of the subcycle was slower; after the
