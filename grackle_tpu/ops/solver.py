@@ -579,8 +579,14 @@ def solve_rate_cool_compacted(
         raise ValueError(
             f"GTPU_WARM_TILE must be an integer, got {tile_env!r}"
         ) from exc
-    if tile <= 0:  # 0 = off: tile at the batch width
-        tile = batch
+    if tile <= 0:
+        # Default re-measured 2026-08-18 on v5e: 256k tiles amortize the
+        # fixed ~140us/iteration launch cost over 3x more lanes than the
+        # batch width while staying under the width where XLA stops
+        # fusing the two-hot weight builds into the conv operands
+        # (sweep: 80k 1.39M / 131k 1.40M / 262k 1.42M (x2) / 393k 1.27M
+        # / 1M 1.30M cells/s flagship).  Never narrower than the batch.
+        tile = max(batch, 262_144)
     n = f["density"].shape[0]
     M = pack(carry)
     if warm > 0:
