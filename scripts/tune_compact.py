@@ -4,7 +4,7 @@ each point.
 
 Usage: python scripts/tune_compact.py [N] [WARM,..] [BATCH,..] [TILE,..]
 
-TILE sweeps GTPU_WARM_TILE (0 = tile at the batch width, the default).
+TILE sweeps GTPU_WARM_TILE (0 = the default, max(batch, 256k)).
 
 Run on the real TPU (no JAX_PLATFORMS override).  Each point re-traces
 (warm is the JIT-static solver_compaction parameter; batch flows through
