@@ -460,6 +460,27 @@ def solve_rate_cool(
     )
 
 
+def warm_tile_width(batch):
+    """Warm-phase tile width (GTPU_WARM_TILE overrides; <=0 = default).
+
+    Default re-measured 2026-08-18 on v5e: 256k tiles amortize the
+    fixed ~140us/iteration launch cost over 3x more lanes than the
+    batch width while staying under the width where XLA stops fusing
+    the two-hot weight builds into the conv operands (sweep: 80k 1.39M
+    / 131k 1.40M / 262k 1.42M (x2) / 393k 1.27M / 1M 1.30M cells/s
+    flagship).  Never narrower than the batch."""
+    tile_env = os.environ.get("GTPU_WARM_TILE")
+    try:
+        tile = int(tile_env) if tile_env else 0
+    except ValueError as exc:
+        raise ValueError(
+            f"GTPU_WARM_TILE must be an integer, got {tile_env!r}"
+        ) from exc
+    if tile <= 0:
+        tile = max(batch, 262_144)
+    return tile
+
+
 def solve_rate_cool_compacted(
     cfg,
     tables,
@@ -572,21 +593,7 @@ def solve_rate_cool_compacted(
     # processed, and extra subcycles on retired lanes are masked no-ops,
     # while still-active overlap cells just advance earlier -- the
     # per-cell subcycle sequence is unchanged either way.
-    tile_env = os.environ.get("GTPU_WARM_TILE")
-    try:
-        tile = int(tile_env) if tile_env else 0
-    except ValueError as exc:
-        raise ValueError(
-            f"GTPU_WARM_TILE must be an integer, got {tile_env!r}"
-        ) from exc
-    if tile <= 0:
-        # Default re-measured 2026-08-18 on v5e: 256k tiles amortize the
-        # fixed ~140us/iteration launch cost over 3x more lanes than the
-        # batch width while staying under the width where XLA stops
-        # fusing the two-hot weight builds into the conv operands
-        # (sweep: 80k 1.39M / 131k 1.40M / 262k 1.42M (x2) / 393k 1.27M
-        # / 1M 1.30M cells/s flagship).  Never narrower than the batch.
-        tile = max(batch, 262_144)
+    tile = warm_tile_width(batch)
     n = f["density"].shape[0]
     M = pack(carry)
     if warm > 0:

@@ -131,3 +131,27 @@ def test_compaction_overlapped_final_tile(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(new_c[k]), np.asarray(new_m[k]), err_msg=k
         )
+
+
+def test_tuned_defaults_locked(monkeypatch):
+    """The measured-on-hardware performance defaults (docs/Performance.md
+    env-knob table) must not drift silently: warm=24 subcycles, an
+    absolute ~80k compaction batch clamped to n/4, and a warm tile of
+    max(batch, 256k)."""
+    from grackle_tpu.ops.solver import warm_tile_width
+
+    monkeypatch.delenv("GTPU_COMPACT_BATCH", raising=False)
+    monkeypatch.delenv("GTPU_WARM_TILE", raising=False)
+
+    cd = _make_chem()
+    assert cd.solver_compaction == 24
+
+    assert api._compact_batch(1 << 20) == 81920
+    assert api._compact_batch(1 << 16) == (1 << 16) // 4  # n/4 clamp
+    assert warm_tile_width(81920) == 262144
+    assert warm_tile_width(500_000) == 500_000  # never narrower
+
+    monkeypatch.setenv("GTPU_WARM_TILE", "4096")
+    assert warm_tile_width(81920) == 4096
+    monkeypatch.setenv("GTPU_COMPACT_BATCH", "40960")
+    assert api._compact_batch(1 << 20) == 40960
