@@ -468,7 +468,10 @@ def warm_tile_width(batch):
     batch width while staying under the width where XLA stops fusing
     the two-hot weight builds into the conv operands (sweep: 80k 1.39M
     / 131k 1.40M / 262k 1.42M (x2) / 393k 1.27M / 1M 1.30M cells/s
-    flagship).  Never narrower than the batch."""
+    flagship).  The max(batch, 256k) floor applies only to this
+    default; an explicit GTPU_WARM_TILE override is used verbatim,
+    including tiles narrower than the batch (results stay bit-exact
+    either way — tiling never changes per-cell arithmetic)."""
     tile_env = os.environ.get("GTPU_WARM_TILE")
     try:
         tile = int(tile_env) if tile_env else 0

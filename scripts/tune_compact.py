@@ -46,10 +46,11 @@ def main():
     for warm, batch, tile in itertools.product(WARMS, BATCHES, TILES):
         os.environ["GTPU_COMPACT_BATCH"] = str(batch)
         os.environ["GTPU_WARM_TILE"] = str(tile)
-        if len(TILES) > 1:
-            # GTPU_WARM_TILE is read at trace time and is not a jit
-            # static arg, so a cached trace would ignore the new value
-            jax.clear_caches()
+        # GTPU_WARM_TILE (and any future trace-time env knob) is read at
+        # trace time and is not a jit static arg, so a cached trace would
+        # silently ignore the new value.  Clear unconditionally: the
+        # retrace cost is already paid per (warm, batch) point anyway.
+        jax.clear_caches()
         # the real flagship config, with only the swept knob overridden
         cd = ge._make_context(chem=3, precision=32, solver_compaction=warm)
         # compile + warm cache
