@@ -100,6 +100,115 @@ def _run_solve(n, repeats=3, precision=None):
     return n / best, n_iter, best
 
 
+def _make_case(name, chem, n, overrides, seed=11):
+    """Build (context, solver-field dict) for one BASELINE.json config."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from grackle_tpu.fluid_container import FluidContainer
+
+    cd = ge._make_context(chem=chem, precision=PRECISION, **overrides)
+    if chem == 0:
+        # tabulated mode: density / metal / energy only (the
+        # cooling_cell.py workload shape)
+        rng = np.random.RandomState(seed)
+        fc = FluidContainer(cd, n)
+        fc["density"][:] = 10.0 ** rng.uniform(-1, 3, n)
+        if cd.metal_cooling:
+            fc["metal"][:] = 1.0e-3 * fc["density"]
+        T = 10.0 ** rng.uniform(3.5, 6.5, n)
+        fc["energy"][:] = T / cd.temperature_units / 0.6 / (cd.Gamma - 1.0)
+        fields = fc._solver_fields()
+    else:
+        fields = ge._make_fields(cd, n)
+    # user heating arrays (BASELINE config 5): small positive rates
+    if "volumetric_heating_rate" in fields:
+        fields["volumetric_heating_rate"][:] = 1.0e-30
+    if "specific_heating_rate" in fields:
+        fields["specific_heating_rate"][:] = 1.0e-8
+    fields = {k: jnp.asarray(v) for k, v in fields.items()}
+    return cd, fields
+
+
+def _time_calls(fn, repeats=2):
+    """Best wall time of fn() over repeats (fn must block on its result)."""
+    fn()  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _run_config_matrix():
+    """Measure every BASELINE.json config (cells/s/chip, f32 production
+    mode) so the driver-captured record holds the per-config table that
+    previously lived only in docs/Performance.md.
+
+    BASELINE.json configs 1-4 are solve_chemistry throughput at their
+    respective chemistry tiers; config 5 is the full grid workload
+    (solve + cooling_time + temperature/pressure/gamma with user
+    volumetric/specific heating arrays).  256^3 is scaled to 128^3 for
+    the single-chip bench (multi-chip sharding is validated separately
+    by dryrun_multichip); throughput is per-cell so the number is the
+    per-chip figure BASELINE asks for.
+    """
+    import jax.numpy as jnp
+
+    n_small = min(N_TPU, 1_048_576)
+    cases = [
+        ("tabulated_cloudy_uvb", 0, n_small,
+         dict(dust_chemistry=0, UVbackground=1)),
+        ("chem1_6species_metal", 1, n_small, dict(dust_chemistry=0)),
+        ("chem2_9species_uvb_selfshield", 2, n_small,
+         dict(dust_chemistry=0, UVbackground=1, self_shielding_method=3)),
+    ]
+    records = []
+    for name, chem, n, overrides in cases:
+        cd, fields = _make_case(name, chem, n, overrides)
+
+        def run(cd=cd, fields=fields):
+            new_f, diag = cd.solve_chemistry(dict(fields), DT)
+            float(jnp.sum(new_f["energy"]))
+            return diag
+
+        diag = cd.solve_chemistry(dict(fields), DT)[1]
+        n_iter = int(diag["n_iterations"])
+        best = _time_calls(run)
+        records.append({
+            "config": name, "n_cells": n, "cells_per_s": n / best,
+            "subcycles": n_iter,
+        })
+
+    # config 5: grid workload with heating arrays + derived fields
+    n_grid = min(N_TPU * 2, 128 ** 3)
+    cd, fields = _make_case(
+        "grid", 3, n_grid,
+        dict(use_volumetric_heating_rate=1, use_specific_heating_rate=1),
+    )
+
+    def run_grid():
+        new_f, _ = cd.solve_chemistry(dict(fields), DT)
+        ct = cd.calculate_cooling_time(dict(fields))
+        tg = cd.calculate_temperature(dict(fields))
+        pg = cd.calculate_pressure(dict(fields))
+        gg = cd.calculate_gamma(dict(fields))
+        float(jnp.sum(new_f["energy"]) + jnp.sum(ct) + jnp.sum(tg)
+              + jnp.sum(pg) + jnp.sum(gg))
+
+    best = _time_calls(run_grid)
+    records.append({
+        "config": "grid_solve+cooltime+T+P+gamma_heating",
+        "n_cells": n_grid, "cells_per_s": n_grid / best,
+        "subcycles": int(
+            cd.solve_chemistry(dict(fields), DT)[1]["n_iterations"]
+        ),
+    })
+    return records
+
+
 def _cpu_baseline(precision=None):
     """Measure this solver on one pinned CPU core in a subprocess."""
     prec = PRECISION if precision is None else precision
@@ -168,6 +277,13 @@ def main():
         detail["f64_cells_per_s"] = f64_rate
         detail["f64_n_cells"] = N_F64
         detail["f64_subcycles"] = f64_iter
+    if precision == 32 and os.environ.get("BENCH_MATRIX", "1") != "0":
+        # per-config table for every BASELINE.json config (the headline
+        # above IS config 4, the chem=3 flagship)
+        try:
+            detail["configs"] = _run_config_matrix()
+        except Exception as exc:  # noqa: BLE001
+            detail["configs_error"] = f"{type(exc).__name__}: {exc}"
     result = {
         "metric": "cells/sec/chip solve_chemistry "
                   f"(12-species + metals + dust, f{precision})",

@@ -124,9 +124,20 @@ def calculate_dust_temperature(cfg, tables, cloudy_prim, us, f, units,
     else:
         myisrf = jnp.full_like(d, cfg.interstellar_radiation_field)
 
-    nh = f["HI"] + f["HII"]
-    if cfg.primordial_chemistry > 1:
-        nh = nh + f["H2I"] + f["H2II"]
+    if cfg.primordial_chemistry == 0:
+        # Tabulated mode has no species fields; use the H mass fraction
+        # of the metal-free density, the same convention the in-solve
+        # dust path uses (cool1d_multi_g.F:688-705 tabulated branch).
+        # The reference's standalone calculator reads the HI/HII
+        # pointers unconditionally (calc_tdust_3d_g.F:138-141), which a
+        # tabulated-mode host never allocates — a latent crash this
+        # rebuild fixes rather than mirrors.
+        fh = cfg.HydrogenFractionByMass
+        nh = fh * (d - f["metal"]) if imetal else fh * d
+    else:
+        nh = f["HI"] + f["HII"]
+        if cfg.primordial_chemistry > 1:
+            nh = nh + f["H2I"] + f["H2II"]
     # NOTE: densities here are not converted to proper, so urho and not
     # dom (calc_tdust_3d_g.F:143-145)
     nh = nh * units.co_density_units / mh
