@@ -23,8 +23,10 @@ import jax.numpy as jnp
 
 from ..constants import tiny
 from . import chemistry_step as cs
-from .common import dtype_huge8, dtype_tiny8, dtype_tolerance
+from .common import dtype_huge8
 from .cooling import cool1d_multi
+from .network import network_field_keys
+from .network_kernel import network_step
 
 _SPECIES_1 = ["de", "HI", "HII", "HeI", "HeII", "HeIII"]
 _SPECIES_2 = ["HM", "H2I", "H2II"]
@@ -74,10 +76,16 @@ def ceiling_species(cfg, f, imetal: bool):
     return out
 
 
-def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit, itmask):
-    """High-density H2 equilibrium timestep limiter
+def _h2_equilibrium_limit(cfg, tables, rs, cool, f, us, itmask):
+    """High-density H2 equilibrium timestep limit
     (solve_rate_cool_g.F:592-643): at rho > 1e8 mh with heating, limit dt
     so the k13/k22 equilibrium H abundance changes by <= 10%.
+
+    Returns the per-cell dt LIMIT (+huge where inactive) rather than
+    applying the minimum itself, so the min can run inside the fused
+    network region (ops/network.py) -- bit-identical to the former
+    in-place ``where(apply, min(dtit, limit), dtit)`` because dtit is
+    already <= 0.5*dt when the min is taken.
 
     The limiter only fires where ``rho*dom > 1e8`` with net heating, which
     is NO cell at all in most workloads, so the whole computation sits
@@ -88,12 +96,13 @@ def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit, itmask):
     fh = cfg.HydrogenFractionByMass
     d = f["density"]
     tgas = cool.tgas
+    huge8 = dtype_huge8(d.dtype)
     # itmask in the predicate: a retired-but-dense cell must not defeat
     # the skip (dtit on retired lanes is never consumed, so this is
     # bit-identical)
     apply = (d * us.dom > 1.0e8) & (cool.edot > 0.0) & itmask
 
-    def limited(dtit):
+    def limited(_):
         dlogtem = (
             jnp.log(cfg.TemperatureEnd) - jnp.log(cfg.TemperatureStart)
         ) / (cfg.NumberOfTemperatureBins - 1)
@@ -141,10 +150,11 @@ def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit, itmask):
             k13 - jnp.sqrt(8.0 * k13 * k22 * fh * d + k13**2)
         )
         limit = cfg.subcycle_accuracy * heq / dheq
-        return jnp.where(apply, jnp.minimum(dtit, limit), dtit)
+        return jnp.where(apply, limit, huge8)
 
     return jax.lax.cond(
-        jnp.any(apply), limited, lambda dtit: dtit, dtit
+        jnp.any(apply), limited,
+        lambda _: jnp.full_like(d, huge8), 0,
     )
 
 
@@ -255,12 +265,6 @@ def run_subcycles(
             "run_subcycles requires const_f (the read-only field dict "
             "from split_state); density is always routed there"
         )
-    d_shape = const_f["density"].shape
-    dtype = const_f["density"].dtype
-    tiny8 = dtype_tiny8(dtype)
-    huge8 = dtype_huge8(dtype)
-    tolerance = dtype_tolerance(dtype)
-
     if chunk is None:
         chunk = cfg.max_iterations
 
@@ -273,134 +277,38 @@ def run_subcycles(
         f = dict(const_f)
         f.update(carry["fields"])
         itmask = carry["itmask"]
-        ttot = carry["ttot"]
-        it = carry["cell_it"]
-        first_iter = it == 0
+        first_iter = carry["cell_it"] == 0
 
         cool = cool1d_multi(
             cfg, tables, cloudy_prim, cloudy_met, pr, us, f,
             carry["tgasold"], first_iter, imetal, cloudy_data_new,
             tdust_prev=carry["tdust"],
         )
-        edot = cool.edot
-        dtit = jnp.full(d_shape, huge8, dtype=edot.dtype)
 
+        rs = None
+        h2_limit = None
         if ispecies > 0:
             rs = cs.lookup_cool_rates(
                 cfg, tables, pr, us, f, cool.tgas, cool.mmw, cool.tdust,
                 cool.dust2gas, l_h2shield_field, imetal,
             )
-            dedot, HIdot, edot = cs.rate_timestep(
-                cfg, rs, f, us, edot, cool.rhoH
-            )
-
-            # dt limiter (solve_rate_cool_g.F:554-692)
-            de, HI = f["de"], f["HI"]
-            dedot = jnp.where(
-                jnp.abs(dedot) < tiny8, jnp.minimum(tiny, de), dedot
-            )
-            HIdot = jnp.where(
-                jnp.abs(HIdot) < tiny8, jnp.minimum(tiny, HI), HIdot
-            )
-            # balanced-rate zeroing (solve_rate_cool_g.F:566-572)
-            balanced = (
-                jnp.minimum(
-                    jnp.abs(rs.k["k1"] * de * HI),
-                    jnp.abs(rs.k["k2"] * f["HII"] * de),
-                ) / jnp.maximum(jnp.abs(dedot), jnp.abs(HIdot))
-            ) > 1.0e6
-            dedot = jnp.where(balanced, tiny8, dedot)
-            HIdot = jnp.where(balanced, tiny8, HIdot)
-            # high-iteration damping (solve_rate_cool_g.F:580-583)
-            use_prev = it > 50
-            dedot = jnp.where(
-                use_prev,
-                jnp.minimum(jnp.abs(dedot), jnp.abs(carry["dedot_prev"])),
-                dedot,
-            )
-            HIdot = jnp.where(
-                use_prev,
-                jnp.minimum(jnp.abs(HIdot), jnp.abs(carry["HIdot_prev"])),
-                HIdot,
-            )
-            acc = cfg.subcycle_accuracy
-            dtit = jnp.minimum(
-                jnp.minimum(
-                    jnp.abs(acc * de / dedot),
-                    jnp.abs(acc * HI / HIdot),
-                ),
-                jnp.minimum(dt - ttot, 0.5 * dt),
-            )
             if ispecies > 1:
-                dtit = _h2_equilibrium_dt(
-                    cfg, tables, rs, cool, f, us, dtit, itmask
+                h2_limit = _h2_equilibrium_limit(
+                    cfg, tables, rs, cool, f, us, itmask
                 )
-            # NOTE: the reference's iter>10 anti-ringing clamp
-            # (solve_rate_cool_g.F:644-646) compares against a dtit that
-            # was just reset to huge at the top of the subcycle, making it
-            # a no-op; reproduced by omission.
 
-        # energy timestep (solve_rate_cool_g.F:698-750)
-        energy = jnp.maximum(cool.p2d / (cfg.Gamma - 1.0), tiny8)
-        edot = jnp.where(
-            (cool.tgas <= 1.01 * cfg.TemperatureStart) & (edot < 0.0),
-            tiny8,
-            edot,
+        # The elementwise network region (rate sums -> dt limiter ->
+        # energy update -> BE Gauss-Seidel sweep -> clock bookkeeping)
+        # runs as either one fused Pallas launch or the plain XLA chain
+        # -- same source either way (ops/network.py).
+        f_net = {k: f[k] for k in network_field_keys(cfg)}
+        cool_v = dict(
+            edot=cool.edot, tgas=cool.tgas, p2d=cool.p2d,
+            rhoH=cool.rhoH, tgasold=cool.tgasold, tdust=cool.tdust,
         )
-        edot = jnp.where(jnp.abs(edot) < tiny8, tiny8, edot)
-        dtit = jnp.minimum(
-            jnp.abs(cfg.subcycle_accuracy * energy / edot),
-            jnp.minimum(dt - ttot, dtit),
-        )
-
-        # energy update (solve_rate_cool_g.F:754-773)
-        new_fields = dict(f)
-        if cfg.with_radiative_cooling == 1:
-            new_fields["energy"] = jnp.where(
-                itmask,
-                f["energy"] + edot / f["density"] * dtit,
-                f["energy"],
-            )
-
-        # species update (solve_rate_cool_g.F:780-796)
-        dedot_prev = carry["dedot_prev"]
-        HIdot_prev = carry["HIdot_prev"]
-        if ispecies > 0:
-            stepped, dedot_prev_new, HIdot_prev_new = cs.step_rate(
-                cfg, rs, new_fields, us, dtit, cool.rhoH
-            )
-            for name in species_names(cfg):
-                new_fields[name] = jnp.where(
-                    itmask, stepped[name], new_fields[name]
-                )
-            dedot_prev = jnp.where(itmask, dedot_prev_new, dedot_prev)
-            HIdot_prev = jnp.where(itmask, HIdot_prev_new, HIdot_prev)
-
-        # advance cell clocks and retire finished cells
-        # (solve_rate_cool_g.F:803-813)
-        ttot_new = jnp.minimum(ttot + jnp.where(itmask, dtit, dt), dt)
-        cell_it_new = carry["cell_it"] + itmask.astype(jnp.int32)
-        unfinished = jnp.abs(dt - ttot_new) >= tolerance * dt
-        hit_cap = cell_it_new >= cfg.max_iterations
-        itmask_new = itmask & unfinished & ~hit_cap
-        capped_new = carry["capped"] | (itmask & unfinished & hit_cap)
-
-        tgasold_new = jnp.where(itmask, cool.tgasold, carry["tgasold"])
-        tdust_new = jnp.where(itmask, cool.tdust, carry["tdust"])
-
-        new_carry = dict(
-            # keep only the mutable state keys in the carry; const_f
-            # entries merged into new_fields pass through unchanged
-            fields={k: new_fields[k] for k in carry["fields"]},
-            ttot=ttot_new,
-            tgasold=tgasold_new,
-            tdust=tdust_new,
-            dedot_prev=dedot_prev,
-            HIdot_prev=HIdot_prev,
-            itmask=itmask_new,
-            cell_it=cell_it_new,
-            capped=capped_new,
-            dtit_prev=jnp.where(itmask, dtit, carry["dtit_prev"]),
+        carry_v = {k: v for k, v in carry.items() if k != "fields"}
+        new_carry = network_step(
+            cfg, us, dt, f_net, rs, cool_v, carry_v, h2_limit
         )
         return step + 1, new_carry
 
