@@ -112,6 +112,16 @@ PARAMETER_REGISTRY: Dict[str, Tuple[type, Any]] = {
     # the driver also auto-disables below 4*8192 cells where batching
     # overhead would dominate.
     "solver_compaction": (int, 24),
+    # Extension (no reference analogue): compensated (Neumaier two-sum)
+    # accumulation of the gas energy and the per-cell subcycle clock in
+    # the f32 solver.  The 32-bit mode's long-horizon error is dominated
+    # by summation drift in `energy += edot/rho * dtit` over hundreds of
+    # subcycles x thousands of calls; carrying an f32 compensation term
+    # for energy and ttot removes that drift at a few extra VPU ops per
+    # subcycle (the per-step rate/network error, ~1e-7 median, is
+    # unaffected -- see docs/Performance.md "Accuracy").  No effect in
+    # the f64 mode.
+    "compensated_sums": (int, 0),
     # Extension (no reference analogue): exact-integration radiative
     # cooling for tabulated mode (primordial_chemistry=0).  Replaces the
     # subcycled energy integration with the closed-form Townsend (2009)

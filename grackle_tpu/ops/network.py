@@ -29,6 +29,25 @@ from ..constants import tiny
 from . import chemistry_step as cs
 from .common import dtype_huge8, dtype_tiny8, dtype_tolerance
 
+def _two_sum(hi, lo, x):
+    """(hi + lo) + x as a renormalized f32 pair (Neumaier two-sum).
+
+    The branch picks the error term formulation valid for the larger
+    operand; the trailing renormalization keeps hi the correctly-rounded
+    total so consumers that read only the hi word see the best f32
+    value.  Idempotent on a renormalized pair with x = 0 (masked lanes
+    stay bit-frozen).  Relies on IEEE adds, which neither XLA nor Mosaic
+    reassociates."""
+    s = hi + x
+    err = jnp.where(
+        jnp.abs(hi) >= jnp.abs(x), (hi - s) + x, (x - s) + hi
+    )
+    lo = lo + err
+    hi2 = s + lo
+    lo2 = lo - (hi2 - s)
+    return hi2, lo2
+
+
 #: f-dict keys the network region reads (the kernel ships only these).
 def network_field_keys(cfg):
     from .solver import species_names
@@ -81,11 +100,19 @@ def network_update(
     huge8 = dtype_huge8(dtype)
     tolerance = dtype_tolerance(dtype)
 
+    compensated = cfg.compensated_sums == 1
     itmask = carry_v["itmask"]
     ttot = carry_v["ttot"]
     it = carry_v["cell_it"]
     edot = cool_v["edot"]
     dtit = jnp.full_like(edot, huge8)
+    # Compensated mode: the true accumulated clock is ttot + ttot_lo;
+    # every `dt - ttot` residual uses the compensated value so the
+    # subcycle partition sums to dt without f32 drift.
+    if compensated:
+        t_resid = (dt - ttot) - carry_v["ttot_lo"]
+    else:
+        t_resid = dt - ttot
 
     if ispecies > 0:
         dedot, HIdot, edot = cs.rate_timestep(
@@ -127,7 +154,7 @@ def network_update(
                 jnp.abs(acc * de / dedot),
                 jnp.abs(acc * HI / HIdot),
             ),
-            jnp.minimum(dt - ttot, 0.5 * dt),
+            jnp.minimum(t_resid, 0.5 * dt),
         )
         if ispecies > 1:
             # high-density H2-equilibrium limit, evaluated outside this
@@ -150,17 +177,28 @@ def network_update(
     edot = jnp.where(jnp.abs(edot) < tiny8, tiny8, edot)
     dtit = jnp.minimum(
         jnp.abs(cfg.subcycle_accuracy * energy / edot),
-        jnp.minimum(dt - ttot, dtit),
+        jnp.minimum(t_resid, dtit),
     )
 
-    # energy update (solve_rate_cool_g.F:754-773)
+    # energy update (solve_rate_cool_g.F:754-773); in compensated mode
+    # the increment goes through a Neumaier two-sum against the carried
+    # low part, eliminating f32 summation drift over the subcycle
+    # sequence (the stored hi word is what the rest of the iteration
+    # reads -- identical access pattern either way).
     new_fields = dict(f)
+    energy_lo = carry_v.get("energy_lo") if compensated else None
     if cfg.with_radiative_cooling == 1:
-        new_fields["energy"] = jnp.where(
-            itmask,
-            f["energy"] + edot / f["density"] * dtit,
-            f["energy"],
-        )
+        if compensated:
+            incr = jnp.where(itmask, edot / f["density"] * dtit, 0.0)
+            e_hi, e_lo = _two_sum(f["energy"], energy_lo, incr)
+            new_fields["energy"] = e_hi
+            energy_lo = e_lo
+        else:
+            new_fields["energy"] = jnp.where(
+                itmask,
+                f["energy"] + edot / f["density"] * dtit,
+                f["energy"],
+            )
 
     # species update (solve_rate_cool_g.F:780-796)
     dedot_prev = carry_v["dedot_prev"]
@@ -178,9 +216,20 @@ def network_update(
 
     # advance cell clocks and retire finished cells
     # (solve_rate_cool_g.F:803-813)
-    ttot_new = jnp.minimum(ttot + jnp.where(itmask, dtit, dt), dt)
+    if compensated:
+        step_t = jnp.where(itmask, dtit, dt)
+        t_hi, t_lo = _two_sum(ttot, carry_v["ttot_lo"], step_t)
+        # the min(..., dt) clamp: once the compensated clock reaches dt
+        # the pair snaps to (dt, 0) exactly, like the uncompensated min
+        done = (t_hi + t_lo) >= dt
+        ttot_new = jnp.where(done, dt, t_hi)
+        ttot_lo_new = jnp.where(done, 0.0, t_lo)
+        unfinished = jnp.abs((dt - ttot_new) - ttot_lo_new) \
+            >= tolerance * dt
+    else:
+        ttot_new = jnp.minimum(ttot + jnp.where(itmask, dtit, dt), dt)
+        unfinished = jnp.abs(dt - ttot_new) >= tolerance * dt
     cell_it_new = carry_v["cell_it"] + itmask.astype(jnp.int32)
-    unfinished = jnp.abs(dt - ttot_new) >= tolerance * dt
     hit_cap = cell_it_new >= cfg.max_iterations
     itmask_new = itmask & unfinished & ~hit_cap
     capped_new = carry_v["capped"] | (itmask & unfinished & hit_cap)
@@ -189,7 +238,11 @@ def network_update(
     tdust_new = jnp.where(itmask, cool_v["tdust"], carry_v["tdust"])
 
     state_keys = ["energy"] + species_names(cfg)
+    comp_out = {}
+    if compensated:
+        comp_out = dict(energy_lo=energy_lo, ttot_lo=ttot_lo_new)
     return dict(
+        **comp_out,
         fields={k: new_fields[k] for k in state_keys},
         ttot=ttot_new,
         tgasold=tgasold_new,

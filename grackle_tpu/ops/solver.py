@@ -201,15 +201,23 @@ def split_state(cfg, f):
     return f_state, f_const
 
 
-def init_carry(f_state, itmask0):
+def init_carry(f_state, itmask0, cfg=None):
     """Build the subcycle loop carry.  All loop-MUTABLE per-cell state
     lives here so the loop can be run in chunks and compacted between
     chunks (the converged-cell compaction optimization; see
-    api.solve_chemistry).  Read-only fields stay outside (split_state)."""
+    api.solve_chemistry).  Read-only fields stay outside (split_state).
+
+    With ``cfg.compensated_sums == 1`` the carry additionally holds the
+    Neumaier compensation terms for the energy and subcycle-clock sums
+    (``energy_lo`` / ``ttot_lo``; see ops/network.py)."""
     ref = f_state["energy"]
     d_shape = ref.shape
     zeros = jnp.zeros(d_shape, dtype=ref.dtype)
+    comp = {}
+    if cfg is not None and cfg.compensated_sums == 1:
+        comp = dict(energy_lo=zeros, ttot_lo=zeros)
     return dict(
+        **comp,
         fields=dict(f_state),
         ttot=zeros,
         tgasold=zeros,
@@ -351,7 +359,7 @@ def solve_rate_cool(
     """
     f, itmask0 = prepare_fields(cfg, f, us, imetal, comoving)
     f_state, f_const = split_state(cfg, f)
-    carry = init_carry(f_state, itmask0)
+    carry = init_carry(f_state, itmask0, cfg)
     carry = run_subcycles(
         cfg, tables, cloudy_prim, cloudy_met, pr, us, carry, dt,
         imetal=imetal, cloudy_data_new=cloudy_data_new,
@@ -359,6 +367,9 @@ def solve_rate_cool(
     )
     out = dict(f_const)
     out.update(carry["fields"])
+    if cfg.compensated_sums == 1:
+        # fold the carried compensation into the returned energy
+        out["energy"] = out["energy"] + carry["energy_lo"]
     fields = finalize_fields(cfg, out, us, imetal, comoving)
     return SolveResult(
         fields=fields,
@@ -432,7 +443,7 @@ def solve_rate_cool_compacted(
     """
     f, itmask0 = prepare_fields(cfg, f, us, imetal, comoving)
     f_state, f_const = split_state(cfg, f)
-    carry = init_carry(f_state, itmask0)
+    carry = init_carry(f_state, itmask0, cfg)
     dtype = f["density"].dtype
 
     # Pack the carry into one (N, C) matrix so each outer trip is ONE
@@ -451,9 +462,11 @@ def solve_rate_cool_compacted(
     const_keys = sorted(f_const.keys())
     aux_keys = ["ttot", "tgasold", "tdust", "dedot_prev", "HIdot_prev",
                 "dtit_prev"]
+    if cfg.compensated_sums == 1:
+        aux_keys += ["energy_lo", "ttot_lo"]
     has_l_h2 = l_h2shield_field is not None
-    ttot_col = len(state_keys)
-    dtit_col = len(state_keys) + len(aux_keys) - 1
+    ttot_col = len(state_keys) + aux_keys.index("ttot")
+    dtit_col = len(state_keys) + aux_keys.index("dtit_prev")
     mask_col = len(state_keys) + len(aux_keys) + 1  # after cell_it
 
     def pack(c):
@@ -573,6 +586,9 @@ def solve_rate_cool_compacted(
     carry = unpack(M)
     out = dict(f_const)
     out.update(carry["fields"])
+    if cfg.compensated_sums == 1:
+        # fold the carried compensation into the returned energy
+        out["energy"] = out["energy"] + carry["energy_lo"]
     fields = finalize_fields(cfg, out, us, imetal, comoving)
     return SolveResult(
         fields=fields,
