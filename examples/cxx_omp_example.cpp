@@ -132,7 +132,68 @@ int main() {
       return 1;
     }
   }
+
+  // Independent contexts are isolated values (docs/Integration.md §9):
+  // two parameter sets driven concurrently from different threads must
+  // each reproduce their own serial answer.  Context B disables
+  // radiative cooling, so its energies must come back unchanged while
+  // context A's evolve — a cross-contamination canary.
+  chemistry_data chem_b;
+  set_default_chemistry_parameters(&chem_b);
+  chem_b.use_grackle = 1;
+  chem_b.primordial_chemistry = 1;
+  chem_b.with_radiative_cooling = 0;
+  chemistry_data_storage rates_b;
+  if (local_initialize_chemistry_data(&chem_b, &rates_b, &my_units) !=
+      GRACKLE_TPU_SUCCESS) {
+    std::fprintf(stderr, "context B initialize failed\n");
+    return 1;
+  }
+  double a_HI = 0.0, b_energy_in = 0.0, b_energy_out = 0.0;
+  failures = 0;
+#pragma omp parallel num_threads(2) reduction(+ : failures)
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    if (tid == 0) {
+      Slab s(my_units.velocity_units, 0);
+      if (local_solve_chemistry(&chem, &rates, &my_units, &s.f, 0.01) !=
+          GRACKLE_TPU_SUCCESS) {
+        failures += 1;
+      } else {
+        a_HI = s.HI[0];
+      }
+    } else {
+      Slab s(my_units.velocity_units, 1);
+      b_energy_in = s.energy[0];
+      if (local_solve_chemistry(&chem_b, &rates_b, &my_units, &s.f,
+                                0.01) != GRACKLE_TPU_SUCCESS) {
+        failures += 1;
+      } else {
+        b_energy_out = s.energy[0];
+      }
+    }
+  }
+  if (failures) {
+    std::fprintf(stderr, "two-context concurrent solve failed\n");
+    return 1;
+  }
+  if (std::fabs(a_HI / serial[0] - 1.0) > 1e-12) {
+    std::fprintf(stderr, "context A answer changed under context B\n");
+    return 1;
+  }
+  if (b_energy_out != b_energy_in) {
+    std::fprintf(stderr,
+                 "context B (cooling off) energy changed: %g -> %g\n",
+                 b_energy_in, b_energy_out);
+    return 1;
+  }
+
   std::printf("CXX_OMP_EXAMPLE_SUCCESS\n");
+  local_free_chemistry_data(&chem_b, &rates_b);
   local_free_chemistry_data(&chem, &rates);
   return 0;
 }
