@@ -19,6 +19,16 @@ import subprocess
 import sys
 import time
 
+# Persistent XLA compilation cache: harmless when the backend cannot
+# serialize executables; when it can, repeat runs (the driver re-runs
+# this script) skip the expensive compiles -- in particular the Mosaic
+# network-kernel compiles, which cost ~10 min each through the TPU
+# tunnel.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 N_TPU = int(os.environ.get("BENCH_N", 1_048_576))
 N_CPU = int(os.environ.get("BENCH_N_CPU", 16_384))
 # f64 runs through the TPU backend's software-emulated doubles (~300x
@@ -67,14 +77,16 @@ def _wait_for_backend():
         time.sleep(120)
 
 
-def _run_solve(n, repeats=3, precision=None):
+def _run_solve(n, repeats=3, precision=None, overrides=None):
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
 
     cd = ge._make_context(
-        chem=CHEM, precision=PRECISION if precision is None else precision
+        chem=CHEM,
+        precision=PRECISION if precision is None else precision,
+        **(overrides or {}),
     )
     fields = {
         k: jnp.asarray(v) for k, v in ge._make_fields(cd, n).items()
@@ -209,6 +221,33 @@ def _run_config_matrix():
     return records
 
 
+def _high_accuracy_point(n):
+    """Measure the recommended high-accuracy f32 operating point
+    (compensated_sums=1 + exact-f32 HIGHEST lookups; docs/Performance.md
+    "Accuracy") in a subprocess — the lookup precision is bound at
+    module import, so it cannot be changed in-process."""
+    code = (
+        "import bench\n"
+        f"rate, n_iter, t = bench._run_solve({n}, repeats=2, "
+        "precision=32, overrides=dict(compensated_sums=1))\n"
+        "print('HIACC_RATE', rate, n_iter)\n"
+    )
+    env = dict(os.environ, GRACKLE_TPU_LOOKUP_PRECISION="HIGHEST")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("HIACC_RATE"):
+                return float(line.split()[1])
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+    except Exception as exc:  # noqa: BLE001
+        sys.stderr.write(f"high-accuracy point failed: {exc}\n")
+    return None
+
+
 def _cpu_baseline(precision=None):
     """Measure this solver on one pinned CPU core in a subprocess."""
     prec = PRECISION if precision is None else precision
@@ -277,6 +316,19 @@ def main():
         detail["f64_cells_per_s"] = f64_rate
         detail["f64_n_cells"] = N_F64
         detail["f64_subcycles"] = f64_iter
+    if precision == 32 and os.environ.get("BENCH_HIACC", "1") != "0":
+        # the recommended high-accuracy f32 operating point
+        # (compensated_sums + HIGHEST lookups) at a quarter of the
+        # headline width
+        hi_n = max(262_144, n_head // 4)
+        hi_rate = _high_accuracy_point(hi_n)
+        if hi_rate:
+            detail["high_accuracy_cells_per_s"] = hi_rate
+            detail["high_accuracy_n_cells"] = hi_n
+            detail["high_accuracy_mode"] = (
+                "compensated_sums=1 + GRACKLE_TPU_LOOKUP_PRECISION="
+                "HIGHEST"
+            )
     if precision == 32 and os.environ.get("BENCH_MATRIX", "1") != "0":
         # per-config table for every BASELINE.json config (the headline
         # above IS config 4, the chem=3 flagship)

@@ -144,27 +144,29 @@ def lookup_cool_rates(
         h2dust = jnp.where(tdust > cfg.DustTemperatureEnd, tiny8, h2dust)
 
     # --- radiation shields (solve_rate_cool_g.F:1382-1676) ---
-    # Unmodified shields stay 0-d scalars: broadcasting is exact, so
-    # results are bit-identical to the former `pr.k * ones_like(d)`
-    # arrays, while the network region (XLA fusions or the Pallas
-    # kernel, where scalars ride in SMEM) skips one full-width HBM
-    # stream per shield per subcycle.
+    # NOTE: the unmodified shields are broadcast to full arrays here on
+    # purpose.  A 0-d-scalar variant (letting XLA broadcast inside the
+    # loop and the Pallas kernel carry them in SMEM) measured ~1% SLOWER
+    # on the flagship config -- the hoisted ones_like arrays live outside
+    # the while_loop, so XLA streams them once and the loop-body fusions
+    # keep their tuned shape (docs/Performance.md, network-kernel
+    # post-mortem).
     d = f["density"]
     shields = {
-        "k24": pr.k24,
-        "k25": pr.k25,
-        "k26": pr.k26,
-        "k27": pr.k27,  # always unshielded (solve_rate_cool_g.F:2286)
-        "k28": pr.k28,
-        "k29": pr.k29,
-        "k30": pr.k30,
+        "k24": pr.k24 * jnp.ones_like(d),
+        "k25": pr.k25 * jnp.ones_like(d),
+        "k26": pr.k26 * jnp.ones_like(d),
+        "k27": pr.k27,  # unshielded scalar (solve_rate_cool_g.F:2286)
+        "k28": pr.k28 * jnp.ones_like(d),
+        "k29": pr.k29 * jnp.ones_like(d),
+        "k30": pr.k30 * jnp.ones_like(d),
     }
 
     if ispecies > 1:
         if cfg.use_radiative_transfer == 1:
             k31shield = pr.k31 + f["RT_H2_dissociation_rate"]
         else:
-            k31shield = pr.k31
+            k31shield = pr.k31 * jnp.ones_like(d)
 
         if cfg.H2_self_shielding > 0:
             if cfg.H2_self_shielding == 1:
@@ -187,7 +189,7 @@ def lookup_cool_rates(
             k31shield = f["H2_custom_shielding_factor"] * k31shield
         shields["k31"] = k31shield
     else:
-        shields["k31"] = pr.k31
+        shields["k31"] = pr.k31 * jnp.ones_like(d)
 
     iradshield = cfg.self_shielding_method
     if iradshield > 0:

@@ -8,11 +8,18 @@ per-cell clock/retirement updates.  It is PURELY elementwise — no
 lookups, no reductions, no transcendentals — which is what lets the
 same source run in two ways:
 
-* directly inside the XLA while_loop body (the reference path), or
-* inside a single Pallas VPU kernel (ops/network_kernel.py), collapsing
-  the ~20 separate XLA fusion launches this region otherwise compiles
-  to (the measured fixed ~140 us/subcycle dispatch cost — see
-  docs/Performance.md "Remaining headroom").
+* inside the XLA while_loop body (used when compensated_sums=1 needs
+  the Neumaier carry pairs), or
+* inside a single Pallas VPU kernel (ops/network_kernel.py, opt-in via
+  GTPU_NETWORK_KERNEL=1), collapsing the ~20 separate XLA fusion
+  launches this region otherwise compiles to.
+
+The DEFAULT solve path does NOT come through here: ops/solver.py keeps
+an inline copy of this region in its loop body, because extracting it
+measured ~7% slower on the flagship (the extraction perturbed XLA's
+fusion choices; docs/Performance.md "network-kernel post-mortem").
+``tests/test_network_kernel.py`` pins the inline copy and this module
+to identical solves, so the duplication cannot drift.
 
 Everything here must stay shape-agnostic (operate on arrays of ANY
 shape, not just [N]) and free of ops Mosaic cannot lower (bool loop

@@ -30,12 +30,17 @@ Design rules (and why):
 
 Enable/disable via ``GTPU_NETWORK_KERNEL``:
 
-* ``auto`` (default): on for f32 solves on a real TPU backend whose
-  cell count is a multiple of 1024 (so rows split into whole 8-sublane
-  tiles); off otherwise — in particular off on CPU, where the XLA path
-  is faster than interpreting the kernel.
-* ``1`` / ``0``: force on / off.  ``interpret``: force on in Pallas
-  interpreter mode (used by the CPU equivalence tests).
+* unset / ``0`` (default): off.  On v5e the kernel measured ~3.5%
+  SLOWER than letting XLA fuse the inline network region (1.368M vs
+  1.417M cells/s flagship) — the ~20 collapsed launches save less than
+  the kernel loses to Mosaic's scheduling of the 40-operand VMEM
+  stream; see docs/Performance.md, "network-kernel post-mortem".  It
+  is kept as an opt-in experiment and as the duplication guard for
+  ops/network.py (the compensated_sums path).
+* ``1`` / ``on``: force on (f32 solves whose cell count is a multiple
+  of 1024 only — rows must split into whole 8-sublane tiles).
+  ``interpret``: force on in Pallas interpreter mode (used by the CPU
+  equivalence tests).
 
 ``GTPU_NETWORK_TILE`` sets the per-launch row tile (sublane rows of
 128 lanes; default 64 rows = 8192 cells per grid step).
@@ -59,21 +64,18 @@ _SUBLANES = 8
 
 
 def _mode() -> str:
-    return os.environ.get("GTPU_NETWORK_KERNEL", "auto")
+    return os.environ.get("GTPU_NETWORK_KERNEL", "0")
 
 
 def kernel_requested(n: int, dtype) -> bool:
-    """Decide (at trace time) whether the Pallas path runs."""
+    """Decide (at trace time) whether the Pallas path runs.  Default is
+    OFF (the inline XLA path measured faster; module docstring)."""
     mode = _mode()
-    if mode in ("0", "off"):
+    if mode not in ("1", "on", "interpret"):
         return False
     if dtype != jnp.float32:
         return False
-    if n % (_SUBLANES * _LANES) != 0:
-        return False
-    if mode in ("1", "on", "interpret"):
-        return True
-    return jax.default_backend() == "tpu"
+    return n % (_SUBLANES * _LANES) == 0
 
 
 def _row_tile(rows: int) -> int:
@@ -209,12 +211,3 @@ def network_update_pallas(
     return out
 
 
-def network_step(cfg, us, dt, f, rs, cool_v, carry_v, h2_limit):
-    """Dispatch: one fused Pallas launch when enabled, otherwise the
-    plain XLA elementwise path (identical source either way)."""
-    n = f["density"].shape[0]
-    if kernel_requested(n, f["density"].dtype):
-        return network_update_pallas(
-            cfg, us, dt, f, rs, cool_v, carry_v, h2_limit
-        )
-    return network_update(cfg, us, dt, f, rs, cool_v, carry_v, h2_limit)

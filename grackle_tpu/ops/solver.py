@@ -23,10 +23,10 @@ import jax.numpy as jnp
 
 from ..constants import tiny
 from . import chemistry_step as cs
-from .common import dtype_huge8
+from .common import dtype_huge8, dtype_tiny8, dtype_tolerance
 from .cooling import cool1d_multi
-from .network import network_field_keys
-from .network_kernel import network_step
+from .network import network_field_keys, network_update
+from .network_kernel import kernel_requested, network_update_pallas
 
 _SPECIES_1 = ["de", "HI", "HII", "HeI", "HeII", "HeIII"]
 _SPECIES_2 = ["HM", "H2I", "H2II"]
@@ -76,80 +76,108 @@ def ceiling_species(cfg, f, imetal: bool):
     return out
 
 
-def _h2_equilibrium_limit(cfg, tables, rs, cool, f, us, itmask):
-    """High-density H2 equilibrium timestep limit
-    (solve_rate_cool_g.F:592-643): at rho > 1e8 mh with heating, limit dt
-    so the k13/k22 equilibrium H abundance changes by <= 10%.
+def _h2_apply_mask(cool, f, us, itmask):
+    """Cells where the high-density H2 equilibrium limiter fires
+    (solve_rate_cool_g.F:592-595): rho*dom > 1e8 with net heating.
 
-    Returns the per-cell dt LIMIT (+huge where inactive) rather than
-    applying the minimum itself, so the min can run inside the fused
-    network region (ops/network.py) -- bit-identical to the former
-    in-place ``where(apply, min(dtit, limit), dtit)`` because dtit is
-    already <= 0.5*dt when the min is taken.
+    itmask in the predicate: a retired-but-dense cell must not defeat
+    the any-cell-dense skip (dtit on retired lanes is never consumed,
+    so this is bit-identical)."""
+    return (f["density"] * us.dom > 1.0e8) & (cool.edot > 0.0) & itmask
 
-    The limiter only fires where ``rho*dom > 1e8`` with net heating, which
-    is NO cell at all in most workloads, so the whole computation sits
-    behind a ``lax.cond`` on "any cell dense" -- quiescent states skip it
-    entirely (bit-identical results either way: the limiter's dtit
-    minimum is only taken on masked lanes).
-    """
+
+def _h2_limit_value(cfg, tables, rs, cool, f, us):
+    """The raw per-cell H2-equilibrium dt limit
+    (solve_rate_cool_g.F:596-643): at rho > 1e8 mh with heating, the dt
+    at which the k13/k22 equilibrium H abundance changes by ~10%.
+    Only meaningful on lanes where :func:`_h2_apply_mask` holds."""
     fh = cfg.HydrogenFractionByMass
     d = f["density"]
     tgas = cool.tgas
+    dlogtem = (
+        jnp.log(cfg.TemperatureEnd) - jnp.log(cfg.TemperatureStart)
+    ) / (cfg.NumberOfTemperatureBins - 1)
+    ti = rs.ti
+    k13a, k22a = tables.k13, tables.k22
+    fused = cfg.use_fused_lookup == 1
+    if fused:
+        # Both evaluation points eqt1/eqt2 are clipped into the SAME
+        # temperature bin [ti.t1, ti.t2] that brackets tgas, so a
+        # single one-hot (N, n_bins) @ (n_bins, 4) contraction
+        # fetching the bracketing (lo, hi) values of k13/k22 serves
+        # both points; the lerp then runs exactly per cell.  (The
+        # previous form paid TWO dense two-hot HIGHEST matmuls here
+        # -- ~30% of the whole subcycle on v5e.)  One-hot weights
+        # are exact in bf16, so Precision.HIGH reproduces the f32
+        # table values to ~1e-7.
+        from .lookup import onehot_fetch, pair_matrix
+
+        pair = pair_matrix(jnp.stack([k13a, k22a], axis=1))
+        vals = onehot_fetch(pair, ti.idx)
+        lo13, lo22, hi13, hi22 = (
+            vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
+        )
+    else:
+        lo13, hi13 = k13a[ti.idx], k13a[ti.idx + 1]
+        lo22, hi22 = k22a[ti.idx], k22a[ti.idx + 1]
+
+    def heq_at(eqt):
+        eqtdef = (eqt - ti.t1) / (ti.t2 - ti.t1)
+        k13_i = lo13 + (hi13 - lo13) * eqtdef
+        k22_i = lo22 + (hi22 - lo22) * eqtdef
+        return (-1.0 / (4.0 * k22_i)) * (
+            k13_i - jnp.sqrt(8.0 * k13_i * k22_i * fh * d + k13_i**2)
+        )
+
+    eqt2 = jnp.minimum(jnp.log(tgas) + 0.1 * dlogtem, ti.t2)
+    eqt1 = jnp.maximum(jnp.log(tgas) - 0.1 * dlogtem, ti.t1)
+    heq2 = heq_at(eqt2)
+    heq1 = heq_at(eqt1)
+    dheq = (
+        jnp.abs(heq2 - heq1) / (jnp.exp(eqt2) - jnp.exp(eqt1))
+    ) * (tgas / cool.p2d) * cool.edot
+    k13, k22 = rs.k["k13"], rs.k["k22"]
+    heq = (-1.0 / (4.0 * k22)) * (
+        k13 - jnp.sqrt(8.0 * k13 * k22 * fh * d + k13**2)
+    )
+    return cfg.subcycle_accuracy * heq / dheq
+
+
+def _h2_equilibrium_dt(cfg, tables, rs, cool, f, us, dtit, itmask):
+    """High-density H2 equilibrium timestep limiter, in-place form
+    (solve_rate_cool_g.F:592-643): apply ``min(dtit, limit)`` on firing
+    lanes.  Used by the inline (default) subcycle path.
+
+    The limiter only fires where ``rho*dom > 1e8`` with net heating,
+    which is NO cell at all in most workloads, so the whole computation
+    sits behind a ``lax.cond`` on "any cell dense" whose FALSE branch is
+    the identity on dtit -- quiescent states skip it entirely and add
+    zero full-width ops (bit-identical results either way: the
+    limiter's dtit minimum is only taken on masked lanes)."""
+    apply = _h2_apply_mask(cool, f, us, itmask)
+
+    def limited(dtit):
+        limit = _h2_limit_value(cfg, tables, rs, cool, f, us)
+        return jnp.where(apply, jnp.minimum(dtit, limit), dtit)
+
+    return jax.lax.cond(
+        jnp.any(apply), limited, lambda dtit: dtit, dtit
+    )
+
+
+def _h2_equilibrium_limit(cfg, tables, rs, cool, f, us, itmask):
+    """High-density H2 equilibrium timestep limit, value form: the
+    per-cell dt LIMIT (+huge where inactive) rather than the applied
+    minimum, so the min can run inside the fused network region
+    (ops/network.py) -- bit-identical to :func:`_h2_equilibrium_dt`
+    because dtit is already <= 0.5*dt when the min is taken.  Used only
+    by the network-region path (Pallas kernel / compensated mode)."""
+    d = f["density"]
     huge8 = dtype_huge8(d.dtype)
-    # itmask in the predicate: a retired-but-dense cell must not defeat
-    # the skip (dtit on retired lanes is never consumed, so this is
-    # bit-identical)
-    apply = (d * us.dom > 1.0e8) & (cool.edot > 0.0) & itmask
+    apply = _h2_apply_mask(cool, f, us, itmask)
 
     def limited(_):
-        dlogtem = (
-            jnp.log(cfg.TemperatureEnd) - jnp.log(cfg.TemperatureStart)
-        ) / (cfg.NumberOfTemperatureBins - 1)
-        ti = rs.ti
-        k13a, k22a = tables.k13, tables.k22
-        fused = cfg.use_fused_lookup == 1
-        if fused:
-            # Both evaluation points eqt1/eqt2 are clipped into the SAME
-            # temperature bin [ti.t1, ti.t2] that brackets tgas, so a
-            # single one-hot (N, n_bins) @ (n_bins, 4) contraction
-            # fetching the bracketing (lo, hi) values of k13/k22 serves
-            # both points; the lerp then runs exactly per cell.  (The
-            # previous form paid TWO dense two-hot HIGHEST matmuls here
-            # -- ~30% of the whole subcycle on v5e.)  One-hot weights
-            # are exact in bf16, so Precision.HIGH reproduces the f32
-            # table values to ~1e-7.
-            from .lookup import onehot_fetch, pair_matrix
-
-            pair = pair_matrix(jnp.stack([k13a, k22a], axis=1))
-            vals = onehot_fetch(pair, ti.idx)
-            lo13, lo22, hi13, hi22 = (
-                vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
-            )
-        else:
-            lo13, hi13 = k13a[ti.idx], k13a[ti.idx + 1]
-            lo22, hi22 = k22a[ti.idx], k22a[ti.idx + 1]
-
-        def heq_at(eqt):
-            eqtdef = (eqt - ti.t1) / (ti.t2 - ti.t1)
-            k13_i = lo13 + (hi13 - lo13) * eqtdef
-            k22_i = lo22 + (hi22 - lo22) * eqtdef
-            return (-1.0 / (4.0 * k22_i)) * (
-                k13_i - jnp.sqrt(8.0 * k13_i * k22_i * fh * d + k13_i**2)
-            )
-
-        eqt2 = jnp.minimum(jnp.log(tgas) + 0.1 * dlogtem, ti.t2)
-        eqt1 = jnp.maximum(jnp.log(tgas) - 0.1 * dlogtem, ti.t1)
-        heq2 = heq_at(eqt2)
-        heq1 = heq_at(eqt1)
-        dheq = (
-            jnp.abs(heq2 - heq1) / (jnp.exp(eqt2) - jnp.exp(eqt1))
-        ) * (tgas / cool.p2d) * cool.edot
-        k13, k22 = rs.k["k13"], rs.k["k22"]
-        heq = (-1.0 / (4.0 * k22)) * (
-            k13 - jnp.sqrt(8.0 * k13 * k22 * fh * d + k13**2)
-        )
-        limit = cfg.subcycle_accuracy * heq / dheq
+        limit = _h2_limit_value(cfg, tables, rs, cool, f, us)
         return jnp.where(apply, limit, huge8)
 
     return jax.lax.cond(
@@ -273,50 +301,196 @@ def run_subcycles(
             "run_subcycles requires const_f (the read-only field dict "
             "from split_state); density is always routed there"
         )
+    d_shape = const_f["density"].shape
+    dtype = const_f["density"].dtype
+    tiny8 = dtype_tiny8(dtype)
+    huge8 = dtype_huge8(dtype)
+    tolerance = dtype_tolerance(dtype)
+
     if chunk is None:
         chunk = cfg.max_iterations
+
+    # The elementwise network region (rate sums -> dt limiter -> energy
+    # update -> BE Gauss-Seidel sweep -> clock bookkeeping) has two
+    # implementations: the INLINE XLA chain below (the default -- XLA's
+    # own fusion of it measured fastest, see docs/Performance.md
+    # network-kernel post-mortem) and the extracted ops/network.py
+    # region, used when it must run as one fused Pallas launch
+    # (GTPU_NETWORK_KERNEL) or carry the Neumaier compensation pairs
+    # (compensated_sums=1).
+    n_cells = 1
+    for s in d_shape:
+        n_cells *= int(s)
+    use_kernel = kernel_requested(n_cells, dtype)
+    use_network_region = cfg.compensated_sums == 1 or use_kernel
 
     def cond(state):
         step, carry = state
         return (step < chunk) & jnp.any(carry["itmask"])
 
-    def body(state):
-        step, carry = state
-        f = dict(const_f)
-        f.update(carry["fields"])
-        itmask = carry["itmask"]
-        first_iter = carry["cell_it"] == 0
-
-        cool = cool1d_multi(
-            cfg, tables, cloudy_prim, cloudy_met, pr, us, f,
-            carry["tgasold"], first_iter, imetal, cloudy_data_new,
-            tdust_prev=carry["tdust"],
-        )
-
-        rs = None
+    def _network_region_carry(carry, f, cool, rs, itmask):
+        """Dispatch one subcycle's network region to ops/network.py
+        (plain or as a single Pallas launch)."""
         h2_limit = None
-        if ispecies > 0:
-            rs = cs.lookup_cool_rates(
-                cfg, tables, pr, us, f, cool.tgas, cool.mmw, cool.tdust,
-                cool.dust2gas, l_h2shield_field, imetal,
+        if ispecies > 1:
+            h2_limit = _h2_equilibrium_limit(
+                cfg, tables, rs, cool, f, us, itmask
             )
-            if ispecies > 1:
-                h2_limit = _h2_equilibrium_limit(
-                    cfg, tables, rs, cool, f, us, itmask
-                )
-
-        # The elementwise network region (rate sums -> dt limiter ->
-        # energy update -> BE Gauss-Seidel sweep -> clock bookkeeping)
-        # runs as either one fused Pallas launch or the plain XLA chain
-        # -- same source either way (ops/network.py).
         f_net = {k: f[k] for k in network_field_keys(cfg)}
         cool_v = dict(
             edot=cool.edot, tgas=cool.tgas, p2d=cool.p2d,
             rhoH=cool.rhoH, tgasold=cool.tgasold, tdust=cool.tdust,
         )
         carry_v = {k: v for k, v in carry.items() if k != "fields"}
-        new_carry = network_step(
+        if use_kernel:
+            return network_update_pallas(
+                cfg, us, dt, f_net, rs, cool_v, carry_v, h2_limit
+            )
+        return network_update(
             cfg, us, dt, f_net, rs, cool_v, carry_v, h2_limit
+        )
+
+    def body(state):
+        step, carry = state
+        f = dict(const_f)
+        f.update(carry["fields"])
+        itmask = carry["itmask"]
+        ttot = carry["ttot"]
+        it = carry["cell_it"]
+        first_iter = it == 0
+
+        cool = cool1d_multi(
+            cfg, tables, cloudy_prim, cloudy_met, pr, us, f,
+            carry["tgasold"], first_iter, imetal, cloudy_data_new,
+            tdust_prev=carry["tdust"],
+        )
+        edot = cool.edot
+        dtit = jnp.full(d_shape, huge8, dtype=edot.dtype)
+
+        rs = None
+        if ispecies > 0:
+            rs = cs.lookup_cool_rates(
+                cfg, tables, pr, us, f, cool.tgas, cool.mmw, cool.tdust,
+                cool.dust2gas, l_h2shield_field, imetal,
+            )
+
+        if use_network_region:
+            return step + 1, _network_region_carry(
+                carry, f, cool, rs, itmask
+            )
+
+        if ispecies > 0:
+            dedot, HIdot, edot = cs.rate_timestep(
+                cfg, rs, f, us, edot, cool.rhoH
+            )
+
+            # dt limiter (solve_rate_cool_g.F:554-692)
+            de, HI = f["de"], f["HI"]
+            dedot = jnp.where(
+                jnp.abs(dedot) < tiny8, jnp.minimum(tiny, de), dedot
+            )
+            HIdot = jnp.where(
+                jnp.abs(HIdot) < tiny8, jnp.minimum(tiny, HI), HIdot
+            )
+            # balanced-rate zeroing (solve_rate_cool_g.F:566-572)
+            balanced = (
+                jnp.minimum(
+                    jnp.abs(rs.k["k1"] * de * HI),
+                    jnp.abs(rs.k["k2"] * f["HII"] * de),
+                ) / jnp.maximum(jnp.abs(dedot), jnp.abs(HIdot))
+            ) > 1.0e6
+            dedot = jnp.where(balanced, tiny8, dedot)
+            HIdot = jnp.where(balanced, tiny8, HIdot)
+            # high-iteration damping (solve_rate_cool_g.F:580-583)
+            use_prev = it > 50
+            dedot = jnp.where(
+                use_prev,
+                jnp.minimum(jnp.abs(dedot), jnp.abs(carry["dedot_prev"])),
+                dedot,
+            )
+            HIdot = jnp.where(
+                use_prev,
+                jnp.minimum(jnp.abs(HIdot), jnp.abs(carry["HIdot_prev"])),
+                HIdot,
+            )
+            acc = cfg.subcycle_accuracy
+            dtit = jnp.minimum(
+                jnp.minimum(
+                    jnp.abs(acc * de / dedot),
+                    jnp.abs(acc * HI / HIdot),
+                ),
+                jnp.minimum(dt - ttot, 0.5 * dt),
+            )
+            if ispecies > 1:
+                dtit = _h2_equilibrium_dt(
+                    cfg, tables, rs, cool, f, us, dtit, itmask
+                )
+            # NOTE: the reference's iter>10 anti-ringing clamp
+            # (solve_rate_cool_g.F:644-646) compares against a dtit that
+            # was just reset to huge at the top of the subcycle, making it
+            # a no-op; reproduced by omission.
+
+        # energy timestep (solve_rate_cool_g.F:698-750)
+        energy = jnp.maximum(cool.p2d / (cfg.Gamma - 1.0), tiny8)
+        edot = jnp.where(
+            (cool.tgas <= 1.01 * cfg.TemperatureStart) & (edot < 0.0),
+            tiny8,
+            edot,
+        )
+        edot = jnp.where(jnp.abs(edot) < tiny8, tiny8, edot)
+        dtit = jnp.minimum(
+            jnp.abs(cfg.subcycle_accuracy * energy / edot),
+            jnp.minimum(dt - ttot, dtit),
+        )
+
+        # energy update (solve_rate_cool_g.F:754-773)
+        new_fields = dict(f)
+        if cfg.with_radiative_cooling == 1:
+            new_fields["energy"] = jnp.where(
+                itmask,
+                f["energy"] + edot / f["density"] * dtit,
+                f["energy"],
+            )
+
+        # species update (solve_rate_cool_g.F:780-796)
+        dedot_prev = carry["dedot_prev"]
+        HIdot_prev = carry["HIdot_prev"]
+        if ispecies > 0:
+            stepped, dedot_prev_new, HIdot_prev_new = cs.step_rate(
+                cfg, rs, new_fields, us, dtit, cool.rhoH
+            )
+            for name in species_names(cfg):
+                new_fields[name] = jnp.where(
+                    itmask, stepped[name], new_fields[name]
+                )
+            dedot_prev = jnp.where(itmask, dedot_prev_new, dedot_prev)
+            HIdot_prev = jnp.where(itmask, HIdot_prev_new, HIdot_prev)
+
+        # advance cell clocks and retire finished cells
+        # (solve_rate_cool_g.F:803-813)
+        ttot_new = jnp.minimum(ttot + jnp.where(itmask, dtit, dt), dt)
+        cell_it_new = carry["cell_it"] + itmask.astype(jnp.int32)
+        unfinished = jnp.abs(dt - ttot_new) >= tolerance * dt
+        hit_cap = cell_it_new >= cfg.max_iterations
+        itmask_new = itmask & unfinished & ~hit_cap
+        capped_new = carry["capped"] | (itmask & unfinished & hit_cap)
+
+        tgasold_new = jnp.where(itmask, cool.tgasold, carry["tgasold"])
+        tdust_new = jnp.where(itmask, cool.tdust, carry["tdust"])
+
+        new_carry = dict(
+            # keep only the mutable state keys in the carry; const_f
+            # entries merged into new_fields pass through unchanged
+            fields={k: new_fields[k] for k in carry["fields"]},
+            ttot=ttot_new,
+            tgasold=tgasold_new,
+            tdust=tdust_new,
+            dedot_prev=dedot_prev,
+            HIdot_prev=HIdot_prev,
+            itmask=itmask_new,
+            cell_it=cell_it_new,
+            capped=capped_new,
+            dtit_prev=jnp.where(itmask, dtit, carry["dtit_prev"]),
         )
         return step + 1, new_carry
 
