@@ -31,9 +31,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 N_TPU = int(os.environ.get("BENCH_N", 1_048_576))
 N_CPU = int(os.environ.get("BENCH_N_CPU", 16_384))
-# f64 runs through the TPU backend's software-emulated doubles (~300x
-# slower than f32); a smaller N keeps the parity datapoint cheap
-N_F64 = int(os.environ.get("BENCH_N_F64", 32_768))
+# f64 elementwise arithmetic is software-emulated on TPU (~1.3-2x f32)
+# and its table lookups run as exact f32 split fetches (ops/lookup.py
+# split_fetch; emulated f64 matmuls would cost ~95x) -- measured ~150k
+# cells/s at 1M, so a quarter-width run keeps the datapoint cheap
+N_F64 = int(os.environ.get("BENCH_N_F64", 262_144))
 DT = 1.0e-4  # Myr, in the bench unit system
 CHEM = 3
 # float32 is the TPU-native production mode (v5e has no hardware f64); it

@@ -52,6 +52,12 @@ def cloudy_cooling(
         # the density/redshift contraction runs as ONE conv for both.
         par_t = [cloudy.par1, cloudy.par2, cloudy.par3][rank - 1]
         dtype = logtem.dtype
+        if dtype == jnp.float64:
+            return _cloudy_cooling_fused_f64(
+                cloudy, rank, par_t, log10tem, log_n_h, log10_tCMB,
+                rhoH, metallicity, zr, zi0, end_int,
+                icmbTfloor, iClHeat, iZscale,
+            )
         d_t = cloudy.cooling.shape[-1]
         want_heat = iClHeat == 1 and cloudy.heating is not None
         data = cloudy.cooling
@@ -126,6 +132,68 @@ def cloudy_cooling(
     if iZscale == 1:
         edot_met = edot_met * metallicity
 
+    return edot_met * rhoH * rhoH
+
+
+def _cloudy_cooling_fused_f64(
+    cloudy, rank, par_t, log10tem, log_n_h, log10_tCMB,
+    rhoH, metallicity, zr, zi0, end_int,
+    icmbTfloor: int, iClHeat: int, iZscale: int,
+):
+    """f64 fused path: avoid emulated-f64 matmuls AND wide (N, D_T) f64
+    intermediates (the TPU backend emulates f64 matmuls at ~95x their
+    f32 cost and elementwise f64 at ~1.3-2x; docs/Performance.md
+    "Double precision on TPU").  The loop-invariant redshift collapse
+    runs as a tiny f64 einsum, then interp.fused_interp_f64 fetches the
+    bracketing TEMPERATURE rows of the transposed tables with an exact
+    f32 split contraction and finishes with narrow (N, D1) f64 lerps.
+    The CMB-floor term collapses the T axis at the scalar T_CMB first
+    (a (D1,) vector), leaving only a narrow per-cell density lerp.
+
+    Math identical to the f32 fused path (cool1d_cloudy_g.F:98-258
+    semantics, including linear extrapolation past grid edges)."""
+    want_heat = iClHeat == 1 and cloudy.heating is not None
+    cool_t = cloudy.cooling
+    heat_t = cloudy.heating if want_heat else None
+    if rank == 3:
+        cool_t = interp.collapse_redshift(
+            cool_t, cloudy.par2, zr, zi0, end_int
+        )
+        if want_heat:
+            heat_t = interp.collapse_redshift(
+                heat_t, cloudy.par2, zr, zi0, end_int
+            )
+    parts = [cool_t] + ([heat_t] if want_heat else [])
+    vals = interp.fused_interp_f64(
+        parts, cloudy.par1 if rank > 1 else None, log_n_h,
+        par_t, log10tem,
+    )
+    edot_met = -(10.0 ** vals[0])
+
+    if icmbTfloor == 1:
+        d_t = cool_t.shape[-1]
+        w_cmb = interp.scalar_twohot_vec(
+            log10_tCMB, par_t, d_t, jnp.float64
+        )
+        if rank == 1:
+            cmb = jnp.sum(cool_t * w_cmb)
+        else:
+            vec = jnp.sum(cool_t * w_cmb[None, :], axis=1)  # (D1,)
+            cmb = interp.narrow_vec_lerp(vec, cloudy.par1, log_n_h)
+        edot_met = jnp.where(
+            (log10tem - log10_tCMB) < 2.0,
+            edot_met + 10.0 ** cmb,
+            edot_met,
+        )
+
+    if want_heat:
+        heat = 10.0 ** vals[1]
+        if rank == 3:
+            heat = jnp.where(end_int, 0.0, heat)
+        edot_met = edot_met + heat
+
+    if iZscale == 1:
+        edot_met = edot_met * metallicity
     return edot_met * rhoH * rhoH
 
 

@@ -125,11 +125,21 @@ def _node_tables(cfg, cloudy_prim, cloudy_met, pr, us, f, imetal):
         import jax
 
         d_t_met = met_rows.shape[1]
-        R = jax.vmap(
-            lambda t: interp.scalar_twohot_vec(t, m_par_t, d_t_met,
-                                               dtype)
-        )(log10T)  # (K, K_met)
-        met_at_nodes = met_rows @ R.T  # (N, K)
+        if dtype == jnp.float64:
+            # f64 matmuls are software-emulated on TPU (~95x the f32
+            # cost); this is a one-shot path where gathers are legal,
+            # so resample by take + lerp (identical math: the two-hot
+            # rows below hold exactly (1-f, f) at (i, i+1))
+            i_m, f_m = interp._uniform_frac(log10T, m_par_t, d_t_met)
+            lo = jnp.take(met_rows, i_m, axis=1)
+            hi = jnp.take(met_rows, i_m + 1, axis=1)
+            met_at_nodes = lo + (hi - lo) * f_m[None, :]  # (N, K)
+        else:
+            R = jax.vmap(
+                lambda t: interp.scalar_twohot_vec(t, m_par_t, d_t_met,
+                                                   dtype)
+            )(log10T)  # (K, K_met)
+            met_at_nodes = met_rows @ R.T  # (N, K)
         edot_met = -(10.0 ** met_at_nodes)
         if cfg.cmb_temperature_floor == 1:
             log10_tCMB = jnp.log10(us.comp2)

@@ -212,6 +212,20 @@ def temperature_rows(cloudy, data, log_n_h, zr, zi0, end_int, dtype):
 
     d1 = data.shape[0]
     i1, f1 = _uniform_frac(log_n_h, cloudy.par1, d1)
+    if data.dtype == jnp.float64:
+        # f64 mode: emulated f64 matmuls cost ~95x their f32 form, so
+        # fetch the bracketing density rows with an exact f32 split
+        # contraction (lookup.split_fetch) and lerp in f64 -- identical
+        # math to the two-hot weights (including linear extrapolation:
+        # f1 is unclamped in both forms).
+        from .lookup import split_fetch
+
+        k = data.shape[1]
+        pair = jnp.concatenate(
+            [data, jnp.roll(data, -1, axis=0)], axis=1
+        )
+        lohi = split_fetch(pair, i1)
+        return lohi[:, :k] + (lohi[:, k:] - lohi[:, :k]) * f1[:, None]
     # sublane-align the contraction axis (see lookup._pad_bins;
     # i1 <= d1 - 2, so padded rows are never selected)
     data, d1_pad = _pad_bins(data)
@@ -248,11 +262,84 @@ def scalar_twohot_vec(x_scalar, par, dim, dtype):
             + (iota == i + 1).astype(dtype) * frac)
 
 
+def fused_interp_f64(parts, par1, x1, par_t, x_t):
+    """Loop-safe f64 interpolation of one or more tables sharing the
+    same axes, without f64 matmuls or wide (N, D_T) f64 intermediates.
+
+    ``parts`` is a sequence of (D1, D_T) tables (or (D_T,) vectors for
+    rank-1 data) in f64; returns a tuple of per-cell (N,) f64 values,
+    one per part.  The temperature axis -- typically the wide one
+    (~100-400 bins) -- is contracted with an exact f32 split fetch
+    (lookup.split_fetch) of the bracketing T rows of the TRANSPOSED
+    tables, then both lerps run in elementwise f64; only a narrow
+    (N, D1) f64 one-hot reduction remains (D1 ~ a few tens of density
+    bins).  The f32 path keeps the temperature_rows/rows_at_temperature
+    form instead: its (N, D_T) intermediates are cheap in f32 and the
+    density contraction rides the MXU.
+
+    Math identical to temperature_rows + rows_at_temperature (both axes
+    lerp with unclamped fractions, i.e. linear extrapolation past grid
+    edges, interpolators_g.F:29-37)."""
+    from .lookup import split_fetch
+
+    parts = list(parts)
+    if parts[0].ndim == 1:
+        # rank-1 data: T axis only
+        d_t = parts[0].shape[0]
+        i_t, f_t = _uniform_frac(x_t, par_t, d_t)
+        tt = jnp.stack(parts, axis=1)  # (d_t, P)
+        pair = jnp.concatenate([tt, jnp.roll(tt, -1, axis=0)], axis=1)
+        v = split_fetch(pair, i_t)  # (N, 2P)
+        p = len(parts)
+        vt = v[:, :p] + (v[:, p:] - v[:, :p]) * f_t[:, None]
+        return tuple(vt[:, j] for j in range(p))
+
+    d1, d_t = parts[0].shape
+    n = x1.shape[0]
+    i1, f1 = _uniform_frac(x1, par1, d1)
+    i_t, f_t = _uniform_frac(x_t, par_t, d_t)
+    tt = jnp.concatenate([p.T for p in parts], axis=1)  # (d_t, d1*P)
+    w = tt.shape[1]
+    pair = jnp.concatenate([tt, jnp.roll(tt, -1, axis=0)], axis=1)
+    v = split_fetch(pair, i_t)  # (N, 2*d1*P)
+    vt = v[:, :w] + (v[:, w:] - v[:, :w]) * f_t[:, None]  # (N, d1*P)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, d1), 1)
+    w_lo = (iota == i1[:, None]).astype(vt.dtype)
+    w_hi = (iota == i1[:, None] + 1).astype(vt.dtype)
+    out = []
+    for j in range(len(parts)):
+        block = vt[:, j * d1:(j + 1) * d1]
+        lo = jnp.sum(block * w_lo, axis=1)
+        hi = jnp.sum(block * w_hi, axis=1)
+        out.append(lo + (hi - lo) * f1)
+    return tuple(out)
+
+
+def narrow_vec_lerp(vec, par1, x1):
+    """Per-cell lerp of a (D1,) vector along a uniform axis via a narrow
+    one-hot reduction (loop-safe: no gathers).  Used by the f64 Cloudy
+    path for the scalar-T CMB-floor slice, where only the density lerp
+    remains per-cell.  Extrapolates past grid edges like
+    interpolators_g.F:29-37 (unclamped fraction)."""
+    d1 = vec.shape[0]
+    i1, f1 = _uniform_frac(x1, par1, d1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (x1.shape[0], d1), 1)
+    lo = jnp.sum(jnp.where(iota == i1[:, None], vec[None, :], 0.0),
+                 axis=1)
+    hi = jnp.sum(jnp.where(iota == i1[:, None] + 1, vec[None, :], 0.0),
+                 axis=1)
+    return lo + (hi - lo) * f1
+
+
 def rows_at_scalar_temperature(rows, par_t, x_scalar):
     """Row interpolation at one scalar temperature (e.g. T_CMB): a matvec
     with a two-element interpolation vector."""
     d_t = rows.shape[1]
     w = scalar_twohot_vec(x_scalar, par_t, d_t, rows.dtype)
+    if rows.dtype == jnp.float64:
+        # keep the f64 contraction off the (emulated) MXU: a broadcast
+        # multiply + reduce runs on the cheap elementwise-f64 path
+        return jnp.sum(rows * w[None, :], axis=1)
     return rows @ w
 
 

@@ -128,9 +128,91 @@ def _pad_bins(stacked):
     return stacked, n_pad
 
 
+# ---------------------------------------------------------------------------
+# f64 fast path: exact f32 split fetch.
+#
+# The TPU backend emulates f64 matmuls at ~95x their f32 cost while f64
+# ELEMENTWISE emulation costs only ~1.3-2x (measured on v5e; see
+# docs/Performance.md "Double precision on TPU"), so in precision=64 mode
+# the fused lookups must not contract in f64.  Instead each f64 table
+# matrix is rescaled per column by a power of two and split into an exact
+# f32 (hi, lo) pair; ONE-hot f32 weights fetch both halves in one exact
+# f32 MXU pass ((DEFAULT, HIGHEST): one-hot lhs is exact in bf16 and the
+# 3-chunk bf16 rhs split reconstructs f32 bitwise), and the interpolation
+# lerp then runs in emulated-f64 elementwise arithmetic.  The fetched
+# values carry the full double-word accuracy of the split (~2^-48
+# relative); table entries smaller than ~1e-38 of their column's maximum
+# fall below the f32 subnormal range of the scaled column and fetch as
+# ~0 -- far below physical significance (the f32 production build zeroes
+# them entirely).
+# ---------------------------------------------------------------------------
+
+_SPLIT_PRECISION = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+
+
+def _f32_split(mat):
+    """Per-column rescale + double-f32 split of an f64 matrix: returns
+    (hi, lo, scale) with (hi + lo) * scale == mat to ~2^-48 relative.
+
+    The scale centers each column's log-magnitude range so that both the
+    largest entry's ``hi`` and the smallest entry's ``lo`` stay inside
+    f32 normal range (the ``lo`` of an entry ~31 decades below a
+    max-anchored scale would flush to a subnormal zero and degrade that
+    entry to f32 accuracy).  The center is clamped so the scaled maximum
+    stays f32-finite, which bounds the exact window at ~76 decades below
+    the column max (f32's full exponent range): columns spanning less
+    than that split losslessly; entries further down degrade through
+    f32-relative accuracy to zero.  Real rate/cooling tables have
+    un-floored entries as small as ~1e-307 (e.g. collisional rates at
+    T -> 1 K) whose loss is physically nil -- they sit below the
+    reference's own tiny8 = 1e-40 arithmetic floor
+    (grackle_fortran_types.def) and 60+ decades below any coexisting
+    rate.  The scale need not be an exact power of two: the
+    scale/unscale round trip costs one f64 rounding (~1e-16)."""
+    aabs = jnp.abs(mat)
+    amax = jnp.max(aabs, axis=0)
+    safe_max = jnp.where(amax > 0, amax, 1.0)
+    amin = jnp.min(
+        jnp.where(aabs > 0, aabs, safe_max[None, :]), axis=0
+    )
+    e_hi = jnp.ceil(jnp.log2(safe_max))
+    e_lo = jnp.floor(jnp.log2(jnp.where(amax > 0, amin, 1.0)))
+    # center, but keep hi = scaled max finite in f32 (<= 2^127)
+    e = jnp.maximum(jnp.round((e_hi + e_lo) / 2.0), e_hi - 127.0)
+    scale = jnp.exp2(e)
+    scaled = mat / scale
+    hi = scaled.astype(jnp.float32)
+    lo = (scaled - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo, scale
+
+
+def split_fetch(mat, idx):
+    """Fetch per-cell rows of an f64 (n_bins, K) matrix via one exact f32
+    one-hot MXU contraction of its (hi, lo) split; returns f64 (N, K)."""
+    k = mat.shape[1]
+    hi, lo, scale = _f32_split(mat)
+    both, n_pad = _pad_bins(jnp.concatenate([hi, lo], axis=1))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n_pad), 1)
+    w = (iota == idx[:, None]).astype(jnp.float32)
+    f = jax.lax.dot_general(
+        w, both,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_SPLIT_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+    return (
+        f[:, :k].astype(jnp.float64) + f[:, k:].astype(jnp.float64)
+    ) * scale
+
+
 def lookup_all(stacked, ti: TableIndex):
     """Interpolate every column of the stacked (n_bins, K) table matrix at
     the cell temperatures in one MXU matmul.  Returns (N, K)."""
+    if stacked.dtype == jnp.float64:
+        # f64 mode: two-hot weights would force an emulated f64 matmul
+        # (~95x the f32 cost); fetch the bracketing rows with an exact
+        # f32 split contraction and lerp in f64 instead.
+        return lookup_all_onehot(stacked, ti)
     stacked, n_pad = _pad_bins(stacked)
     w = twohot_weights(ti.idx, ti.tdef, n_pad, stacked.dtype)
     return jax.lax.dot_general(
@@ -154,7 +236,10 @@ def onehot_fetch(pair, idx, dtype=None):
     """Fetch per-cell rows of ``pair`` with a one-hot MXU contraction
     (safe inside device loops, unlike gathers).  One-hot weights are
     exact in bf16, so _ONEHOT_PRECISION reproduces the f32 rows to the
-    rhs-split accuracy."""
+    rhs-split accuracy.  f64 operands route through :func:`split_fetch`
+    (exact f32 contraction of the double-f32 table split)."""
+    if pair.dtype == jnp.float64:
+        return split_fetch(pair, idx)
     dtype = dtype or pair.dtype
     pair, n_pad = _pad_bins(pair)
     iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n_pad), 1)
@@ -227,12 +312,12 @@ class TableLookup:
         return lo + (hi - lo) * self._ti.tdef[:, None]
 
     def h2dust_u(self):
-        """(N, H2DUST_RANK) interpolated log-SVD gas-T factors (fused
-        path only)."""
-        from ..rates.tables import H2DUST_RANK
-
+        """(N, rank) interpolated log-SVD gas-T factors (fused path
+        only; the rank is config-dependent — see rates.tables
+        h2dust_rank — and carried by the h2dust_v factor's shape)."""
+        rank = self._tables.h2dust_v.shape[1]
         i0 = self._index["h2dust_u0"]
-        return self._vals[:, i0:i0 + H2DUST_RANK]
+        return self._vals[:, i0:i0 + rank]
 
 
 def h2dust_lookup_fused(lk: "TableLookup", h2dust_v, d_ti: TableIndex):

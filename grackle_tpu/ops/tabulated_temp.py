@@ -39,6 +39,26 @@ def tabulated_temperature(
         # contract the non-T axes once (loop-invariant); the fixed-point
         # iteration then only does row-wise T interpolation
         par_t = [cloudy.par1, cloudy.par2, cloudy.par3][rank - 1]
+        if e.dtype == jnp.float64:
+            # f64: skip the wide (N, D_T) f64 rows entirely — fetch the
+            # bracketing T rows of the (collapsed) table with an exact
+            # f32 split contraction and lerp narrowly in f64 each
+            # iteration (interp.fused_interp_f64; the table split is
+            # loop-invariant and hoisted by XLA)
+            mu2d = cloudy.mmw
+            if rank == 3:
+                mu2d = interp.collapse_redshift(
+                    mu2d, cloudy.par2, zr, zi0, end_int
+                )
+
+            def mu_interp(log10tem):
+                return interp.fused_interp_f64(
+                    [mu2d], cloudy.par1 if rank > 1 else None,
+                    log_n_h, par_t, log10tem,
+                )[0]
+
+            return _fixed_point(mu_interp, cloudy, d, metal, e,
+                                temstart, gamma, utem, imetal)
         mu_rows = interp.temperature_rows(
             cloudy, cloudy.mmw, log_n_h, zr, zi0, end_int, e.dtype
         )

@@ -56,8 +56,17 @@ _ARRAY_FIELDS = [
 ]
 
 # rank of the log-space SVD factorization of the 2-D h2dust table used by
-# the fused lookup path (max relative reconstruction error ~2e-9 at 16)
+# the fused lookup path (max relative reconstruction error ~2e-9 at 16).
+# precision=64 uses rank 24, which reaches the f64 log/exp round-trip
+# floor (~7e-13 max) so the factorization is no longer the f64 mode's
+# accuracy limiter; f32 keeps 16 (8 fewer chem-conv columns, and 2e-9
+# is far below f32's own per-step noise).
 H2DUST_RANK = 16
+
+
+def h2dust_rank(cfg):
+    """SVD rank for this config's h2dust factorization (see above)."""
+    return 24 if cfg.precision == 64 else H2DUST_RANK
 
 # Column layout of the stacked lookup matrices. The solver does two
 # lookup rounds per subcycle at different temperature indices — the
@@ -110,7 +119,7 @@ def active_chem_columns(cfg):
     if cfg.primordial_chemistry > 2:
         cols += ["k50", "k51", "k52", "k53", "k54", "k55", "k56"]
     if (cfg.h2_on_dust > 0) or (cfg.dust_chemistry > 0):
-        cols += [f"h2dust_u{i}" for i in range(H2DUST_RANK)]
+        cols += [f"h2dust_u{i}" for i in range(h2dust_rank(cfg))]
     return tuple(cols)
 
 _SCALAR_FIELDS = [
@@ -138,7 +147,7 @@ class RateTables:
     # populated dynamically; see _ARRAY_FIELDS/_SCALAR_FIELDS
     stacked_cool: Any = None  # (n_bins, K) matrix, cols = cool_cols
     stacked_chem: Any = None  # (n_bins, K) matrix, cols = chem_cols
-    h2dust_v: Any = None  # (n_dust_bins, H2DUST_RANK) log-SVD factor
+    h2dust_v: Any = None  # (n_dust_bins, rank) log-SVD factor
     cool_cols: Any = ()  # active cooling column names (static)
     chem_cols: Any = ()  # active chemistry column names (static)
     k1: Any = None
@@ -323,7 +332,7 @@ def build_rate_tables(cfg, units, dtype=jnp.float64) -> RateTables:
     # lookups instead of a (n_bins x n_dust_bins) contraction per subcycle.
     logH = np.log10(np.maximum(vals["h2dust"], 1e-300))
     U, sv, Vt = np.linalg.svd(logH, full_matrices=False)
-    r = H2DUST_RANK
+    r = h2dust_rank(cfg)
     h2dust_u = U[:, :r] * sv[:r]
     h2dust_v = Vt[:r].T
     for i in range(r):

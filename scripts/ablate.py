@@ -26,10 +26,13 @@ from grackle_tpu.ops.common import make_unit_scalars
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
 CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 DT = 1.0e-4
+# ABLATE_PRECISION=64 attributes the f64 (split-fetch) solve instead
+PRECISION = int(os.environ.get("ABLATE_PRECISION", "32"))
 
 
 def time_variant(name, **overrides):
-    cd = ge._make_context(chem=overrides.pop("chem", 3), precision=32)
+    cd = ge._make_context(chem=overrides.pop("chem", 3),
+                          precision=PRECISION)
     for k, v in overrides.pop("params", {}).items():
         setattr(cd, k, v)
     assert cd.initialize() == 1
