@@ -8,9 +8,95 @@ scalar interpolation calls become batched gathers over the whole cell axis.
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Any
+
 import jax.numpy as jnp
 
 from . import interp
+
+
+@dataclasses.dataclass(frozen=True)
+class CloudyPrepF64:
+    """Loop-invariant f64 Cloudy interpolation state, computed ONCE per
+    solve call (ops/solver.py run_subcycles) instead of per subcycle:
+    the redshift-collapsed, transposed, paired table as a precomputed
+    double-f32 split (ops/lookup.py SplitTable), plus the CMB-floor
+    density vector.  Plain container (never crosses a jit boundary --
+    created and consumed within one trace)."""
+
+    split: Any       # lookup.SplitTable of pair([cool|heat].T blocks)
+    par1: Any        # density-axis parameter vector (None for rank 1)
+    par_t: Any       # temperature-axis parameter vector
+    d1: int          # density-axis length (0 for rank 1)
+    d_t: int         # temperature-axis length
+    n_parts: int     # 1 (cooling only / mmw) or 2 (+heating)
+    rank1: bool
+    want_heat: bool
+    end_int: Any     # traced bool scalar (rank 3) or None
+    cmb_vec: Any     # (D1,) vec / scalar (rank 1) / None
+
+
+def prepare_cloudy_f64(cloudy, zr, comp2, icmbTfloor: int, iClHeat: int,
+                       table: str = "cooling") -> CloudyPrepF64:
+    """Build the per-call f64 prep for one Cloudy table group.
+
+    ``table`` selects "cooling" (+heating when iClHeat and present) or
+    "mmw" (the tabulated-mode mean-molecular-weight table).  All math
+    matches the inline _cloudy_cooling_fused_f64 construction bit for
+    bit -- this only hoists it out of the subcycle loop."""
+    rank = cloudy.grid_rank
+    zi0 = end_int = None
+    if rank == 3:
+        d2 = cloudy.grid_dimension[1]
+        zi0, end_int = interp.redshift_index(zr, cloudy.par2, d2)
+
+    if table == "mmw":
+        parts = [cloudy.mmw]
+        want_heat = False
+        icmbTfloor = 0
+    else:
+        want_heat = iClHeat == 1 and cloudy.heating is not None
+        parts = [cloudy.cooling] + (
+            [cloudy.heating] if want_heat else []
+        )
+    if rank == 3:
+        parts = [
+            interp.collapse_redshift(p, cloudy.par2, zr, zi0, end_int)
+            for p in parts
+        ]
+
+    from .lookup import make_split
+
+    par_t = [cloudy.par1, cloudy.par2, cloudy.par3][rank - 1]
+    rank1 = parts[0].ndim == 1
+    if rank1:
+        tt = jnp.stack(parts, axis=1)  # (d_t, P)
+        d1 = 0
+        d_t = parts[0].shape[0]
+    else:
+        tt = jnp.concatenate([p.T for p in parts], axis=1)
+        d1, d_t = parts[0].shape
+    pair = jnp.concatenate([tt, jnp.roll(tt, -1, axis=0)], axis=1)
+    split = make_split(pair)
+
+    cmb_vec = None
+    if icmbTfloor == 1:
+        log10_tCMB = jnp.log10(comp2)
+        w_cmb = interp.scalar_twohot_vec(
+            log10_tCMB, par_t, d_t, jnp.float64
+        )
+        cool_t = parts[0]
+        if rank1:
+            cmb_vec = jnp.sum(cool_t * w_cmb)
+        else:
+            cmb_vec = jnp.sum(cool_t * w_cmb[None, :], axis=1)  # (D1,)
+
+    return CloudyPrepF64(
+        split=split, par1=cloudy.par1 if not rank1 else None,
+        par_t=par_t, d1=d1, d_t=d_t, n_parts=len(parts), rank1=rank1,
+        want_heat=want_heat, end_int=end_int, cmb_vec=cmb_vec,
+    )
 
 
 def cloudy_cooling(
@@ -25,6 +111,7 @@ def cloudy_cooling(
     iClHeat: int,
     iZscale: int,
     use_fused: bool = False,
+    prep: "CloudyPrepF64 | None" = None,
 ):
     """Return the Cloudy-table edot contribution (code units).
 
@@ -53,6 +140,11 @@ def cloudy_cooling(
         par_t = [cloudy.par1, cloudy.par2, cloudy.par3][rank - 1]
         dtype = logtem.dtype
         if dtype == jnp.float64:
+            if prep is not None:
+                return _cloudy_cooling_fused_f64_pre(
+                    prep, log10tem, log_n_h, log10_tCMB,
+                    rhoH, metallicity, icmbTfloor, iZscale,
+                )
             return _cloudy_cooling_fused_f64(
                 cloudy, rank, par_t, log10tem, log_n_h, log10_tCMB,
                 rhoH, metallicity, zr, zi0, end_int,
@@ -190,6 +282,40 @@ def _cloudy_cooling_fused_f64(
         heat = 10.0 ** vals[1]
         if rank == 3:
             heat = jnp.where(end_int, 0.0, heat)
+        edot_met = edot_met + heat
+
+    if iZscale == 1:
+        edot_met = edot_met * metallicity
+    return edot_met * rhoH * rhoH
+
+
+def _cloudy_cooling_fused_f64_pre(
+    prep: CloudyPrepF64, log10tem, log_n_h, log10_tCMB,
+    rhoH, metallicity, icmbTfloor: int, iZscale: int,
+):
+    """_cloudy_cooling_fused_f64 consuming the per-call prep
+    (prepare_cloudy_f64) -- bit-identical math, with every
+    loop-invariant table computation hoisted out of the subcycle
+    while-loop body."""
+    vals = interp.fused_interp_f64_pre(prep, log_n_h, log10tem)
+    edot_met = -(10.0 ** vals[0])
+
+    if icmbTfloor == 1:
+        if prep.rank1:
+            cmb = prep.cmb_vec
+        else:
+            cmb = interp.narrow_vec_lerp(prep.cmb_vec, prep.par1,
+                                         log_n_h)
+        edot_met = jnp.where(
+            (log10tem - log10_tCMB) < 2.0,
+            edot_met + 10.0 ** cmb,
+            edot_met,
+        )
+
+    if prep.want_heat:
+        heat = 10.0 ** vals[1]
+        if prep.end_int is not None:
+            heat = jnp.where(prep.end_int, 0.0, heat)
         edot_met = edot_met + heat
 
     if iZscale == 1:

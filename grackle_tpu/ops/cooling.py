@@ -63,10 +63,13 @@ def _nssh(avgsig, tgas, k_rate, tbase1):
             * (k_rate / tbase1 / 1.0e-12) ** (2.0 / 3.0))
 
 
-def compute_temperature_state(cfg, cloudy_prim, us, f, imetal: bool):
+def compute_temperature_state(cfg, cloudy_prim, us, f, imetal: bool,
+                              mmw_prep=None):
     """Temperature, mmw, pressure, rhoH (cool1d_multi_g.F:208-336).
 
     Returns (p2d, tgas, mmw, rhoH, myde, metallicity, mynh).
+    ``mmw_prep`` is the per-call f64 prep of the Cloudy MMW table
+    (tabulated mode inside the subcycle loop; see ops/cloudy_cool.py).
     """
     ispecies = cfg.primordial_chemistry
     d = f["density"]
@@ -83,6 +86,7 @@ def compute_temperature_state(cfg, cloudy_prim, us, f, imetal: bool):
             cloudy_prim, d, metal, e, rhoH, us.dom, us.zr,
             cfg.TemperatureStart, gamma, us.utem, imetal,
             use_fused=cfg.use_fused_lookup == 1,
+            mmw_prep=mmw_prep,
         )
         myde = jnp.zeros_like(d)  # recomputed from mmw later
     else:
@@ -142,12 +146,18 @@ def cool1d_multi(
     imetal: bool,
     cloudy_data_new: bool = True,
     tdust_prev=None,
+    cloudy_prep=None,
 ) -> CoolResult:
     """Compute edot and the thermodynamic state for every cell.
 
     Faithful to cool1d_multi_g.F:166-1131 with the iteration mask replaced
     by full-width vector ops (masked lanes are simply ignored downstream).
+
+    ``cloudy_prep`` (f64 fused mode inside the subcycle loop only) is a
+    dict of per-call Cloudy preps built by ops/solver.py run_subcycles:
+    keys 'prim'/'met'/'mmw', each a CloudyPrepF64 or None.
     """
+    cloudy_prep = cloudy_prep or {}
     ispecies = cfg.primordial_chemistry
     anydust = (cfg.h2_on_dust > 0) or (cfg.dust_chemistry > 0) or (
         cfg.dust_recombination_cooling > 0
@@ -157,7 +167,8 @@ def cool1d_multi(
     tiny8 = dtype_tiny8(d.dtype)
 
     p2d, tgas, mmw, rhoH, myde, metallicity, mynh = (
-        compute_temperature_state(cfg, cloudy_prim, us, f, imetal)
+        compute_temperature_state(cfg, cloudy_prim, us, f, imetal,
+                                  mmw_prep=cloudy_prep.get("mmw"))
     )
 
     tgasold = jnp.where(first_iter, tgas, tgasold_in)
@@ -368,6 +379,7 @@ def cool1d_multi(
             cloudy_prim, logtem, rhoH, metallicity, dom, us.zr, us.comp2,
             icmbTfloor=0, iClHeat=cfg.UVbackground, iZscale=0,
             use_fused=cfg.use_fused_lookup == 1,
+            prep=cloudy_prep.get("prim"),
         )
         # electron density from mean molecular weight
         # (cool1d_multi_g.F:932-945)
@@ -426,6 +438,7 @@ def cool1d_multi(
                 us.comp2, icmbTfloor=cfg.cmb_temperature_floor,
                 iClHeat=cfg.UVbackground, iZscale=1,
                 use_fused=cfg.use_fused_lookup == 1,
+                prep=cloudy_prep.get("met"),
             )
         else:
             de_for_old = f["de"] if ispecies > 0 else myde

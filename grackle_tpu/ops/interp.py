@@ -295,7 +295,6 @@ def fused_interp_f64(parts, par1, x1, par_t, x_t):
         return tuple(vt[:, j] for j in range(p))
 
     d1, d_t = parts[0].shape
-    n = x1.shape[0]
     i1, f1 = _uniform_frac(x1, par1, d1)
     i_t, f_t = _uniform_frac(x_t, par_t, d_t)
     tt = jnp.concatenate([p.T for p in parts], axis=1)  # (d_t, d1*P)
@@ -303,16 +302,44 @@ def fused_interp_f64(parts, par1, x1, par_t, x_t):
     pair = jnp.concatenate([tt, jnp.roll(tt, -1, axis=0)], axis=1)
     v = split_fetch(pair, i_t)  # (N, 2*d1*P)
     vt = v[:, :w] + (v[:, w:] - v[:, :w]) * f_t[:, None]  # (N, d1*P)
+    return _narrow_density_lerp(vt, i1, f1, d1, len(parts))
+
+
+def _narrow_density_lerp(vt, i1, f1, d1, n_parts):
+    """Per-part narrow (N, D1) one-hot density lerp of the fetched,
+    T-interpolated rows (the shared tail of fused_interp_f64[_pre])."""
+    n = i1.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, d1), 1)
     w_lo = (iota == i1[:, None]).astype(vt.dtype)
     w_hi = (iota == i1[:, None] + 1).astype(vt.dtype)
     out = []
-    for j in range(len(parts)):
+    for j in range(n_parts):
         block = vt[:, j * d1:(j + 1) * d1]
         lo = jnp.sum(block * w_lo, axis=1)
         hi = jnp.sum(block * w_hi, axis=1)
         out.append(lo + (hi - lo) * f1)
     return tuple(out)
+
+
+def fused_interp_f64_pre(prep, x1, x_t):
+    """:func:`fused_interp_f64` consuming a precomputed table split
+    (ops/cloudy_cool.py CloudyPrepF64) instead of building the
+    transposed/paired/split matrices inline.  Math identical; the prep
+    form is what runs inside the subcycle while-loop, where the inline
+    table construction would re-execute per iteration (XLA's LICM does
+    not hoist the emulated-f64 table reductions)."""
+    from .lookup import split_fetch
+
+    i_t, f_t = _uniform_frac(x_t, prep.par_t, prep.d_t)
+    v = split_fetch(prep.split, i_t)
+    if prep.rank1:
+        p = prep.n_parts
+        vt = v[:, :p] + (v[:, p:] - v[:, :p]) * f_t[:, None]
+        return tuple(vt[:, j] for j in range(p))
+    w = prep.d1 * prep.n_parts
+    vt = v[:, :w] + (v[:, w:] - v[:, :w]) * f_t[:, None]
+    i1, f1 = _uniform_frac(x1, prep.par1, prep.d1)
+    return _narrow_density_lerp(vt, i1, f1, prep.d1, prep.n_parts)
 
 
 def narrow_vec_lerp(vec, par1, x1):

@@ -150,6 +150,42 @@ def _pad_bins(stacked):
 _SPLIT_PRECISION = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["both", "scale"],
+    meta_fields=["k"],
+)
+@dataclasses.dataclass(frozen=True)
+class SplitTable:
+    """Precomputed double-f32 split of an f64 (n_bins, K) table matrix:
+    ``both`` is the sublane-padded f32 ``[hi | lo]`` concatenation
+    (n_pad, 2K) and ``scale`` the per-column f64 rescale (K,).
+
+    The split/pad/pair work is loop-invariant table math; precomputing it
+    (at table build, or once per solve call for redshift-collapsed Cloudy
+    tables) keeps it out of the subcycle while-loop body instead of
+    relying on XLA's loop-invariant code motion to hoist the emulated-f64
+    reductions (measured: LICM does NOT hoist them -- see
+    docs/Performance.md "Double precision on TPU")."""
+
+    both: Any
+    scale: Any
+    k: int
+
+
+def make_split(mat) -> SplitTable:
+    """Build the :class:`SplitTable` for an f64 (n_bins, K) matrix."""
+    hi, lo, scale = _f32_split(mat)
+    both, _ = _pad_bins(jnp.concatenate([hi, lo], axis=1))
+    return SplitTable(both=both, scale=scale, k=int(mat.shape[1]))
+
+
+def pair_split(stacked) -> SplitTable:
+    """SplitTable of ``pair_matrix(stacked)`` -- the precomputed form
+    consumed by the f64 one-hot + lerp lookups."""
+    return make_split(pair_matrix(stacked))
+
+
 def _f32_split(mat):
     """Per-column rescale + double-f32 split of an f64 matrix: returns
     (hi, lo, scale) with (hi + lo) * scale == mat to ~2^-48 relative.
@@ -188,31 +224,35 @@ def _f32_split(mat):
 
 def split_fetch(mat, idx):
     """Fetch per-cell rows of an f64 (n_bins, K) matrix via one exact f32
-    one-hot MXU contraction of its (hi, lo) split; returns f64 (N, K)."""
-    k = mat.shape[1]
-    hi, lo, scale = _f32_split(mat)
-    both, n_pad = _pad_bins(jnp.concatenate([hi, lo], axis=1))
+    one-hot MXU contraction of its (hi, lo) split; returns f64 (N, K).
+
+    ``mat`` may be a raw f64 matrix (split built inline -- only correct
+    outside device loops, where the one-time table math is cheap) or a
+    precomputed :class:`SplitTable` (the loop-safe form)."""
+    s = mat if isinstance(mat, SplitTable) else make_split(mat)
+    n_pad = s.both.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n_pad), 1)
     w = (iota == idx[:, None]).astype(jnp.float32)
     f = jax.lax.dot_general(
-        w, both,
+        w, s.both,
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=_SPLIT_PRECISION,
         preferred_element_type=jnp.float32,
     )
+    k = s.k
     return (
         f[:, :k].astype(jnp.float64) + f[:, k:].astype(jnp.float64)
-    ) * scale
+    ) * s.scale
 
 
-def lookup_all(stacked, ti: TableIndex):
+def lookup_all(stacked, ti: TableIndex, pre: "SplitTable | None" = None):
     """Interpolate every column of the stacked (n_bins, K) table matrix at
     the cell temperatures in one MXU matmul.  Returns (N, K)."""
     if stacked.dtype == jnp.float64:
         # f64 mode: two-hot weights would force an emulated f64 matmul
         # (~95x the f32 cost); fetch the bracketing rows with an exact
         # f32 split contraction and lerp in f64 instead.
-        return lookup_all_onehot(stacked, ti)
+        return lookup_all_onehot(stacked, ti, pre=pre)
     stacked, n_pad = _pad_bins(stacked)
     w = twohot_weights(ti.idx, ti.tdef, n_pad, stacked.dtype)
     return jax.lax.dot_general(
@@ -232,12 +272,16 @@ def pair_matrix(stacked):
     )
 
 
-def onehot_fetch(pair, idx, dtype=None):
+def onehot_fetch(pair, idx, dtype=None, pre: "SplitTable | None" = None):
     """Fetch per-cell rows of ``pair`` with a one-hot MXU contraction
     (safe inside device loops, unlike gathers).  One-hot weights are
     exact in bf16, so _ONEHOT_PRECISION reproduces the f32 rows to the
     rhs-split accuracy.  f64 operands route through :func:`split_fetch`
-    (exact f32 contraction of the double-f32 table split)."""
+    (exact f32 contraction of the double-f32 table split; pass ``pre``
+    -- the precomputed SplitTable of ``pair`` -- when calling from
+    inside a device loop)."""
+    if pre is not None:
+        return split_fetch(pre, idx)
     if pair.dtype == jnp.float64:
         return split_fetch(pair, idx)
     dtype = dtype or pair.dtype
@@ -252,15 +296,20 @@ def onehot_fetch(pair, idx, dtype=None):
     )
 
 
-def lookup_all_onehot(stacked, ti: TableIndex):
+def lookup_all_onehot(stacked, ti: TableIndex,
+                      pre: "SplitTable | None" = None):
     """lookup_all via a one-hot fetch of the bracketing (lo, hi) rows and
     an exact per-cell f32 lerp.  Halves the weight-generation VPU work
     (one lane compare instead of two) and is more accurate under
     Precision.HIGH (one-hot rows are exact in bf16), at the cost of a 2x
     wider contraction output — a win for narrow table sets, a loss for
-    wide ones (the MXU pass cost scales with K)."""
+    wide ones (the MXU pass cost scales with K).  ``pre`` is the
+    precomputed f64 SplitTable of ``pair_matrix(stacked)``."""
     k = stacked.shape[1]
-    lohi = onehot_fetch(pair_matrix(stacked), ti.idx, stacked.dtype)
+    if pre is not None:
+        lohi = split_fetch(pre, ti.idx)
+    else:
+        lohi = onehot_fetch(pair_matrix(stacked), ti.idx, stacked.dtype)
     return lohi[:, :k] + (lohi[:, k:] - lohi[:, :k]) * ti.tdef[:, None]
 
 
@@ -281,12 +330,19 @@ class TableLookup:
         if table_set == "cool":
             names = tables.cool_cols
             stacked = tables.stacked_cool
+            pre = getattr(tables, "split_cool_pair", None)
         else:
             names = tables.chem_cols
             stacked = tables.stacked_chem
+            pre = getattr(tables, "split_chem_pair", None)
         self._index = {name: i for i, name in enumerate(names)}
         if use_fused:
-            if table_set in _ONEHOT_SETS:
+            if stacked.dtype == jnp.float64:
+                # f64: both strategies collapse to the one-hot split
+                # fetch; `pre` (built at table init) keeps the table
+                # split/pair math out of the loop body
+                self._vals = lookup_all_onehot(stacked, ti, pre=pre)
+            elif table_set in _ONEHOT_SETS:
                 self._vals = lookup_all_onehot(stacked, ti)
             else:
                 self._vals = lookup_all(stacked, ti)
@@ -332,7 +388,10 @@ def h2dust_lookup_fused(lk: "TableLookup", h2dust_v, d_ti: TableIndex):
     compare instead of two) and more accurate (one-hot rows are exact in
     bf16, so Precision.HIGH reproduces the f32 factors to ~1e-7)."""
     u = lk.h2dust_u()  # (N, r), interpolated at the gas-T index
-    v = lookup_all_onehot(h2dust_v, d_ti)  # (N, r) dust-T factors
+    v_pre = None
+    if h2dust_v.dtype == jnp.float64:
+        v_pre = getattr(lk._tables, "split_h2dust_v_pair", None)
+    v = lookup_all_onehot(h2dust_v, d_ti, pre=v_pre)  # (N, r) dust-T
     return 10.0 ** jnp.sum(u * v, axis=1)
 
 

@@ -112,8 +112,16 @@ def _h2_limit_value(cfg, tables, rs, cool, f, us):
         # table values to ~1e-7.
         from .lookup import onehot_fetch, pair_matrix
 
-        pair = pair_matrix(jnp.stack([k13a, k22a], axis=1))
-        vals = onehot_fetch(pair, ti.idx)
+        pre = None
+        if k13a.dtype == jnp.float64:
+            # precomputed at table build (rates/tables.py): keeps the
+            # pair/split table math out of the loop body in f64 mode
+            pre = getattr(tables, "split_h2limit_pair", None)
+        if pre is not None:
+            vals = onehot_fetch(None, ti.idx, pre=pre)
+        else:
+            pair = pair_matrix(jnp.stack([k13a, k22a], axis=1))
+            vals = onehot_fetch(pair, ti.idx)
         lo13, lo22, hi13, hi22 = (
             vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
         )
@@ -324,6 +332,55 @@ def run_subcycles(
     use_kernel = kernel_requested(n_cells, dtype)
     use_network_region = cfg.compensated_sums == 1 or use_kernel
 
+    # f64 fused mode: build the per-call Cloudy interpolation preps
+    # (redshift collapse, transposed pair matrices, double-f32 splits,
+    # CMB-floor vectors) ONCE, outside the while-loop body.  Computed
+    # inside the loop they would re-execute per subcycle: XLA's
+    # loop-invariant code motion does not hoist the emulated-f64 table
+    # reductions (measured on v5e; docs/Performance.md "Double
+    # precision on TPU").  Bit-identical by construction — this only
+    # moves where identical ops run.
+    cloudy_prep = None
+    if dtype == jnp.float64 and cfg.use_fused_lookup == 1:
+        from . import cloudy_cool as _cc
+
+        prep_prim = prep_met = prep_mmw = None
+        if (ispecies == 0 and cloudy_prim is not None
+                and cloudy_prim.grid_rank > 0):
+            prep_prim = _cc.prepare_cloudy_f64(
+                cloudy_prim, us.zr, us.comp2,
+                icmbTfloor=0, iClHeat=cfg.UVbackground,
+            )
+            prep_mmw = _cc.prepare_cloudy_f64(
+                cloudy_prim, us.zr, us.comp2,
+                icmbTfloor=0, iClHeat=0, table="mmw",
+            )
+        if (imetal and cfg.metal_cooling == 1 and cloudy_data_new
+                and cloudy_met is not None and cloudy_met.grid_rank > 0):
+            prep_met = _cc.prepare_cloudy_f64(
+                cloudy_met, us.zr, us.comp2,
+                icmbTfloor=cfg.cmb_temperature_floor,
+                iClHeat=cfg.UVbackground,
+            )
+        cloudy_prep = dict(prim=prep_prim, met=prep_met, mmw=prep_mmw)
+
+    # GTPU_SUBCYCLE_UNROLL > 1 executes that many subcycle iterations
+    # per while_loop trip, amortizing the fixed per-trip launch cost
+    # (~140 us of sequential fusion issue; docs/Performance.md) over
+    # more work.  Bit-identical by construction: every carry update is
+    # lane-masked, so an extra fully-masked iteration after all lanes
+    # retire is a bitwise no-op, and the `chunk % unroll == 0` guard
+    # keeps chunked runs (warm phase) at exactly `chunk` iterations.
+    unroll_env = os.environ.get("GTPU_SUBCYCLE_UNROLL")
+    try:
+        unroll = int(unroll_env) if unroll_env else 1
+    except ValueError as exc:
+        raise ValueError(
+            f"GTPU_SUBCYCLE_UNROLL must be an integer, got {unroll_env!r}"
+        ) from exc
+    if unroll < 1 or chunk % unroll != 0:
+        unroll = 1
+
     def cond(state):
         step, carry = state
         return (step < chunk) & jnp.any(carry["itmask"])
@@ -350,7 +407,7 @@ def run_subcycles(
             cfg, us, dt, f_net, rs, cool_v, carry_v, h2_limit
         )
 
-    def body(state):
+    def one_iter(state):
         step, carry = state
         f = dict(const_f)
         f.update(carry["fields"])
@@ -362,7 +419,7 @@ def run_subcycles(
         cool = cool1d_multi(
             cfg, tables, cloudy_prim, cloudy_met, pr, us, f,
             carry["tgasold"], first_iter, imetal, cloudy_data_new,
-            tdust_prev=carry["tdust"],
+            tdust_prev=carry["tdust"], cloudy_prep=cloudy_prep,
         )
         edot = cool.edot
         dtit = jnp.full(d_shape, huge8, dtype=edot.dtype)
@@ -493,6 +550,11 @@ def run_subcycles(
             dtit_prev=jnp.where(itmask, dtit, carry["dtit_prev"]),
         )
         return step + 1, new_carry
+
+    def body(state):
+        for _ in range(unroll):
+            state = one_iter(state)
+        return state
 
     _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
     return carry

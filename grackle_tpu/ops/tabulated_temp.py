@@ -19,7 +19,7 @@ TI_MAX = 20
 
 def tabulated_temperature(
     cloudy, d, metal, e, rhoH, dom, zr, temstart, gamma, utem,
-    imetal: bool, use_fused: bool = False,
+    imetal: bool, use_fused: bool = False, mmw_prep=None,
 ):
     """Iterate T <-> mu(T) against the Cloudy MMW table.
 
@@ -43,18 +43,21 @@ def tabulated_temperature(
             # f64: skip the wide (N, D_T) f64 rows entirely — fetch the
             # bracketing T rows of the (collapsed) table with an exact
             # f32 split contraction and lerp narrowly in f64 each
-            # iteration (interp.fused_interp_f64; the table split is
-            # loop-invariant and hoisted by XLA)
-            mu2d = cloudy.mmw
-            if rank == 3:
-                mu2d = interp.collapse_redshift(
-                    mu2d, cloudy.par2, zr, zi0, end_int
+            # iteration.  The table collapse/pair/split is built ONCE
+            # here (or passed in as mmw_prep when this runs inside the
+            # subcycle loop — XLA's LICM does not hoist the emulated-f64
+            # table reductions out of while bodies).
+            if mmw_prep is None:
+                from . import cloudy_cool as _cc
+
+                mmw_prep = _cc.prepare_cloudy_f64(
+                    cloudy, zr, 1.0, icmbTfloor=0, iClHeat=0,
+                    table="mmw",
                 )
 
             def mu_interp(log10tem):
-                return interp.fused_interp_f64(
-                    [mu2d], cloudy.par1 if rank > 1 else None,
-                    log_n_h, par_t, log10tem,
+                return interp.fused_interp_f64_pre(
+                    mmw_prep, log_n_h, log10tem
                 )[0]
 
             return _fixed_point(mu_interp, cloudy, d, metal, e,

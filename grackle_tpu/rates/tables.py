@@ -136,7 +136,9 @@ _SCALAR_FIELDS = [
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=(_ARRAY_FIELDS + _SCALAR_FIELDS
-                 + ["stacked_cool", "stacked_chem", "h2dust_v"]),
+                 + ["stacked_cool", "stacked_chem", "h2dust_v",
+                    "split_cool_pair", "split_chem_pair",
+                    "split_h2dust_v_pair", "split_h2limit_pair"]),
     meta_fields=["cool_cols", "chem_cols"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -148,6 +150,14 @@ class RateTables:
     stacked_cool: Any = None  # (n_bins, K) matrix, cols = cool_cols
     stacked_chem: Any = None  # (n_bins, K) matrix, cols = chem_cols
     h2dust_v: Any = None  # (n_dust_bins, rank) log-SVD factor
+    # f64 mode only: precomputed double-f32 splits of the pair matrices
+    # (ops/lookup.py SplitTable) so the subcycle loop body never carries
+    # the table split/pair math (emulated-f64 reductions that XLA's LICM
+    # does not hoist)
+    split_cool_pair: Any = None
+    split_chem_pair: Any = None
+    split_h2dust_v_pair: Any = None
+    split_h2limit_pair: Any = None  # pair of stacked (k13, k22)
     cool_cols: Any = ()  # active cooling column names (static)
     chem_cols: Any = ()  # active chemistry column names (static)
     k1: Any = None
@@ -360,4 +370,25 @@ def build_rate_tables(cfg, units, dtype=jnp.float64) -> RateTables:
     out["stacked_chem"] = _stack(chem_cols)
     out["cool_cols"] = cool_cols
     out["chem_cols"] = chem_cols
+
+    if dtype == jnp.float64:
+        # precision=64: precompute the double-f32 splits of every pair
+        # matrix the fused lookups fetch per subcycle, so the loop body
+        # contains only the one-hot contraction + f64 lerp (the split
+        # itself is table math XLA's LICM won't hoist out of the loop)
+        from ..ops.lookup import pair_split
+
+        out["split_cool_pair"] = pair_split(out["stacked_cool"])
+        out["split_chem_pair"] = pair_split(out["stacked_chem"])
+        if out["h2dust_v"] is not None:
+            out["split_h2dust_v_pair"] = pair_split(out["h2dust_v"])
+        if cfg.primordial_chemistry > 1:
+            # the H2-equilibrium limiter's bracketing (k13, k22) fetch
+            # (ops/solver.py _h2_limit_value)
+            out["split_h2limit_pair"] = pair_split(
+                jnp.asarray(
+                    np.stack([vals["k13"], vals["k22"]], axis=1),
+                    dtype=dtype,
+                )
+            )
     return RateTables(**out)
