@@ -405,3 +405,6 @@ grackle_version get_grackle_version(void) {
 }
 
 }  // extern "C"
+
+/* Deprecated flat-pointer API tier (grackle.h:34-77 analogue). */
+#include "deprecated_api.inc"

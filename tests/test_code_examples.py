@@ -58,6 +58,40 @@ def test_c_example_builds_and_runs(tmp_path):
 
 
 @pytest.mark.skipif(not _have_toolchain(), reason="no C toolchain")
+def test_c_legacy_api_example_builds_and_runs(tmp_path):
+    """Deprecated flat-pointer tier (grackle: src/clib/grackle.h:34-77):
+    a legacy host written against _set_default_chemistry_parameters /
+    _initialize_chemistry_data / _solve_chemistry /
+    _calculate_temperature must link and run unchanged."""
+    r = subprocess.run(["make"], cwd=CLIB, capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    exe = str(tmp_path / "c_legacy_api_example")
+    r = subprocess.run(
+        ["gcc", "-Wno-deprecated-declarations",
+         "-I" + os.path.join(CLIB, "include"),
+         os.path.join(EXAMPLES, "c_legacy_api_example.c"),
+         "-L" + CLIB, "-lgrackle_tpu", "-Wl,-rpath," + CLIB,
+         "-o", exe],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run([exe], capture_output=True, text=True,
+                       timeout=600, env=env)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "C_LEGACY_EXAMPLE_SUCCESS" in r.stdout
+    for line in r.stdout.splitlines():
+        if line.startswith("temperature[0]"):
+            t = float(line.split("=")[1])
+            assert 1.0e3 < t < 1.0e5
+
+
+@pytest.mark.skipif(not _have_toolchain(), reason="no C toolchain")
 def test_cxx_omp_example_builds_and_runs(tmp_path):
     """Concurrent host threads calling the C ABI must be safe and
     agree with a serial sweep (analogue of the reference's
