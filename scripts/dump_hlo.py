@@ -19,8 +19,10 @@ from grackle_tpu.api import _photo_rates
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/subcycle_hlo.txt"
+# GTPU_DUMP_PRECISION=64 dumps the f64 (split-fetch) body instead
+PRECISION = int(os.environ.get("GTPU_DUMP_PRECISION", "32"))
 
-cd = ge._make_context(chem=3, precision=32)
+cd = ge._make_context(chem=3, precision=PRECISION)
 ctx = cd.context
 cfg = ctx.config
 dtype = solver_dtype(cfg)
@@ -47,16 +49,23 @@ txt = run.lower(fields).compile().as_text()
 with open(OUT, "w") as fh:
     fh.write(txt)
 
+import re  # noqa: E402
+
 ops = Counter()
-in_body = False
 for line in txt.splitlines():
     s = line.strip()
-    if " = " in s:
-        rhs = s.split(" = ", 1)[1]
-        op = rhs.split("(", 1)[0].split(" ")[-1].split(".")[0]
-        ops[op.rstrip("0123456789-")] += 1
+    if " = " not in s:
+        continue
+    rhs = s.split(" = ", 1)[1]
+    # `%name = TYPE op-name(args)` — the type token may itself contain
+    # parens (tile layouts), so match the identifier right before the
+    # first "(" that follows whitespace
+    m = re.match(r"\S+\s+([a-zA-Z][\w-]*)\(", rhs)
+    if m is None:
+        m = re.search(r"\)\s*\}?\s+([a-zA-Z][\w-]*)\(", rhs)
+    if m:
+        ops[m.group(1)] += 1
 print(f"wrote {OUT} ({len(txt)} bytes)")
 for op, c in ops.most_common(25):
     print(f"  {op:28s} {c}")
-n_fusion = sum(c for o, c in ops.items() if o.startswith("fusion"))
-print("total fusions:", n_fusion)
+print("total fusions:", ops["fusion"])
