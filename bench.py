@@ -74,7 +74,21 @@ EXPECTED = {
 }
 
 
-def _check_expected(name, value, deviations):
+# Cell counts the EXPECTED constants were measured at.  Throughput
+# grows with cells/call, so expected-range checks only run when the
+# corresponding BENCH_N* env override is at its default — a quick-check
+# run (e.g. BENCH_N=65536) must not spray spurious deviations.
+_EXPECTED_AT = {"n_tpu": 1_048_576, "n_cpu": 16_384, "n_f64": 262_144}
+
+
+def _expected_applicable(which):
+    return {"n_tpu": N_TPU, "n_cpu": N_CPU,
+            "n_f64": N_F64}[which] == _EXPECTED_AT[which]
+
+
+def _check_expected(name, value, deviations, which="n_tpu"):
+    if not _expected_applicable(which):
+        return
     exp, tol = EXPECTED.get(name, (None, None))
     if exp and value and abs(value / exp - 1.0) > tol:
         deviations.append({
@@ -368,7 +382,8 @@ def main():
     if precision == 32:
         detail["vs_pinned_baseline"] = rate / CPU_BASELINE_PINNED
         detail["cpu_baseline_pinned"] = CPU_BASELINE_PINNED
-        if cpu_rate and abs(cpu_rate / CPU_BASELINE_PINNED - 1.0) > 0.15:
+        if (cpu_rate and _expected_applicable("n_cpu")
+                and abs(cpu_rate / CPU_BASELINE_PINNED - 1.0) > 0.15):
             deviations.append({
                 "datapoint": "cpu_core_baseline", "measured": cpu_rate,
                 "expected": CPU_BASELINE_PINNED,
@@ -384,7 +399,7 @@ def main():
         detail["f64_cells_per_s"] = f64_rate
         detail["f64_n_cells"] = N_F64
         detail["f64_subcycles"] = f64_iter
-        _check_expected("f64", f64_rate, deviations)
+        _check_expected("f64", f64_rate, deviations, which="n_f64")
     if precision == 32 and os.environ.get("BENCH_HIACC", "1") != "0":
         # the recommended high-accuracy f32 operating point
         # (compensated_sums + HIGHEST lookups) at a quarter of the

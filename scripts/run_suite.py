@@ -32,12 +32,6 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-SUMMARY_RE = re.compile(
-    r"(?:(\d+) passed)?(?:, )?(?:(\d+) failed)?(?:, )?"
-    r"(?:(\d+) skipped)?(?:, )?(?:(\d+) error)?"
-)
-
-
 def parse_counts(out):
     """Pull (passed, failed, skipped, errors) from a pytest -q tail."""
     counts = [0, 0, 0, 0]
@@ -95,11 +89,16 @@ def main():
             for i in range(4):
                 totals[i] += counts[i]
         # pytest rc 5 = no tests collected (a file of all-skipped
-        # parametrizations); treat as ok
+        # parametrizations); treat as ok.  rc 1-4 are pytest's own
+        # failure codes (failures / interrupted / internal / usage) —
+        # report as FAIL; only signal deaths (rc < 0) are CRASH.
         if rc not in (0, 5):
-            kind = "CRASH" if rc < 0 or rc > 1 else "FAIL"
             if rc == 124:
                 kind = "TIMEOUT"
+            elif rc < 0 or rc > 124:
+                kind = "CRASH"
+            else:
+                kind = "FAIL"
             bad_shards.append((names, rc, kind, out[-4000:]))
             status = kind
         else:
@@ -118,6 +117,11 @@ def main():
           f"across {len(shards)} shard(s)")
     if bad_shards or totals[1] or totals[3]:
         print("SUITE: RED")
+        sys.exit(1)
+    if totals[0] == 0:
+        # a typo'd -k filter or an --ignore list covering everything
+        # must not read as a passing suite
+        print("SUITE: RED (no tests ran)")
         sys.exit(1)
     print("SUITE: GREEN")
 

@@ -23,38 +23,47 @@ def _have_toolchain():
     )
 
 
-@pytest.mark.skipif(not _have_toolchain(), reason="no C toolchain")
-def test_c_example_builds_and_runs(tmp_path):
-    # 1. build the shim library
+def _build_and_run_c(tmp_path, src, marker, extra_cflags=()):
+    """make the shim, compile one C example against it, run it on the
+    CPU backend, assert the success marker, and return stdout."""
     r = subprocess.run(["make"], cwd=CLIB, capture_output=True,
                        text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(CLIB, "libgrackle_tpu.so"))
 
-    # 2. compile the C example
-    exe = str(tmp_path / "c_example")
+    exe = str(tmp_path / os.path.splitext(src)[0])
     r = subprocess.run(
-        ["gcc", "-I" + os.path.join(CLIB, "include"),
-         os.path.join(EXAMPLES, "c_example.c"),
+        ["gcc", *extra_cflags, "-I" + os.path.join(CLIB, "include"),
+         os.path.join(EXAMPLES, src),
          "-L" + CLIB, "-lgrackle_tpu", "-Wl,-rpath," + CLIB,
          "-o", exe],
         capture_output=True, text=True, timeout=120,
     )
     assert r.returncode == 0, r.stderr[-2000:]
 
-    # 3. run it (embedded interpreter on CPU)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run([exe], capture_output=True, text=True,
                        timeout=600, env=env)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
-    assert "C_EXAMPLE_SUCCESS" in r.stdout
-    # physics sanity from the printed values
-    for line in r.stdout.splitlines():
+    assert marker in r.stdout
+    return r.stdout
+
+
+def _assert_temperature_sane(stdout):
+    for line in stdout.splitlines():
         if line.startswith("temperature[0]"):
             t = float(line.split("=")[1])
             assert 1.0e3 < t < 1.0e5
+            return
+    raise AssertionError("no temperature[0] line in output")
+
+
+@pytest.mark.skipif(not _have_toolchain(), reason="no C toolchain")
+def test_c_example_builds_and_runs(tmp_path):
+    out = _build_and_run_c(tmp_path, "c_example.c", "C_EXAMPLE_SUCCESS")
+    _assert_temperature_sane(out)
 
 
 @pytest.mark.skipif(not _have_toolchain(), reason="no C toolchain")
@@ -63,32 +72,11 @@ def test_c_legacy_api_example_builds_and_runs(tmp_path):
     a legacy host written against _set_default_chemistry_parameters /
     _initialize_chemistry_data / _solve_chemistry /
     _calculate_temperature must link and run unchanged."""
-    r = subprocess.run(["make"], cwd=CLIB, capture_output=True,
-                       text=True, timeout=300)
-    assert r.returncode == 0, r.stderr[-2000:]
-
-    exe = str(tmp_path / "c_legacy_api_example")
-    r = subprocess.run(
-        ["gcc", "-Wno-deprecated-declarations",
-         "-I" + os.path.join(CLIB, "include"),
-         os.path.join(EXAMPLES, "c_legacy_api_example.c"),
-         "-L" + CLIB, "-lgrackle_tpu", "-Wl,-rpath," + CLIB,
-         "-o", exe],
-        capture_output=True, text=True, timeout=120,
+    out = _build_and_run_c(
+        tmp_path, "c_legacy_api_example.c", "C_LEGACY_EXAMPLE_SUCCESS",
+        extra_cflags=("-Wno-deprecated-declarations",),
     )
-    assert r.returncode == 0, r.stderr[-2000:]
-
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    r = subprocess.run([exe], capture_output=True, text=True,
-                       timeout=600, env=env)
-    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
-    assert "C_LEGACY_EXAMPLE_SUCCESS" in r.stdout
-    for line in r.stdout.splitlines():
-        if line.startswith("temperature[0]"):
-            t = float(line.split("=")[1])
-            assert 1.0e3 < t < 1.0e5
+    _assert_temperature_sane(out)
 
 
 @pytest.mark.skipif(not _have_toolchain(), reason="no C toolchain")
