@@ -42,16 +42,19 @@ CHEM = 3
 # is the runtime analogue of the reference's CONFIG_PRECISION=32 build.
 PRECISION = int(os.environ.get("BENCH_PRECISION", 32))
 
-# Pinned single-CPU-core baseline (cells/s): mean of four independent
-# median-of-5 runs of this solver on one pinned core of this image's
-# CPU (2026-08-21: 9416 / 8026 / 8491 / 9423 — the virtualized core
-# itself drifts +/-8% run-to-run, so no same-run measurement can be a
-# stable denominator; seed 11, 16,384 cells, f32, single-threaded
-# XLA-CPU).  `vs_pinned_baseline` uses this constant so the headline
-# multiple cannot swing with denominator noise (r03 8,967 vs r04
-# 10,932 moved the headline 158x -> 129x with no solver change);
-# `vs_baseline` stays the same-run measured ratio.
-CPU_BASELINE_PINNED = 8_839.0
+# Pinned single-CPU-core baseline (cells/s): center of all known
+# median-of-5 readings of this solver on one pinned core of this
+# image's CPU — 2026-08-21 measured 8026/8491/9416/9423/10097/10218 in
+# one day, and earlier rounds recorded 8967 (r03) / 10932 (r04); the
+# virtualized core drifts across a ~8.0-10.9k band with no code
+# change, so no same-run measurement can be a stable denominator
+# (seed 11, 16,384 cells, f32, single-threaded XLA-CPU).
+# `vs_pinned_baseline` uses this constant so the headline multiple
+# cannot swing with denominator noise (that drift alone moved the r03
+# -> r04 headline 158x -> 129x); `vs_baseline` stays the same-run
+# measured ratio.  The deviation gate below is +/-25% — wider than the
+# observed band — so it only fires on a real environment change.
+CPU_BASELINE_PINNED = 9_500.0
 
 # Expected throughput (cells/s) for every secondary datapoint —
 # quiet-machine measurements, 2026-08-21.  bench.py annotates any
@@ -383,7 +386,7 @@ def main():
         detail["vs_pinned_baseline"] = rate / CPU_BASELINE_PINNED
         detail["cpu_baseline_pinned"] = CPU_BASELINE_PINNED
         if (cpu_rate and _expected_applicable("n_cpu")
-                and abs(cpu_rate / CPU_BASELINE_PINNED - 1.0) > 0.15):
+                and abs(cpu_rate / CPU_BASELINE_PINNED - 1.0) > 0.25):
             deviations.append({
                 "datapoint": "cpu_core_baseline", "measured": cpu_rate,
                 "expected": CPU_BASELINE_PINNED,
