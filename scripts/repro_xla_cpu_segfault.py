@@ -17,6 +17,7 @@ clean exit means the crash needs the real suite's larger compile
 volume/shapes.
 
 Usage: JAX_PLATFORMS=cpu python scripts/repro_xla_cpu_segfault.py [ROUNDS]
+REPRO_RETAIN=1 keeps every jitted function alive (as pytest does).
 """
 
 import os
@@ -70,6 +71,8 @@ def make_program(i, dtype):
 
 
 def main():
+    retain = os.environ.get("REPRO_RETAIN", "0") == "1"
+    kept = []
     for i in range(ROUNDS):
         # toggle x64 every 50 rounds, as the suite does between modules
         if i % 50 == 0:
@@ -79,6 +82,8 @@ def main():
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         prog, x = make_program(i, dtype)
         float(prog(x))
+        if retain:
+            kept.append((prog, x))  # pytest keeps every jit cache alive
     print(f"completed {ROUNDS} distinct compiles without crashing — "
           "the segfault needs the real suite's compile volume/shapes",
           flush=True)
