@@ -8,10 +8,13 @@ iterations at the price of k x the compiled body (more code, same math;
 bit-identical because retired lanes are masked no-ops).
 
 Each unroll value is measured in a fresh subprocess (the knob is read
-at trace time; in-process sweeps would hit the jit cache).  Reports the
-flagship 1M-cell f32 solve and, separately, the 80k batched-phase width
-(GTPU_COMPACT_BATCH sets the batch width; the warm phase's chunk=24
-constrains warm-phase unroll to divisors of 24).
+at trace time; in-process sweeps would hit the jit cache).  Measures
+the flagship 1M-cell f32 solve (override the width with BENCH_N; the
+warm phase's chunk=24 constrains warm-phase unroll to divisors of 24,
+non-divisors silently run that phase rolled).
+
+Round-5 result (docs/Performance.md "Subcycle unroll"): FLAT — the
+per-iteration fixed cost is fusion-issue, which unrolling duplicates.
 
 Usage: python scripts/unroll_bench.py [unroll values...]
 """
